@@ -1,0 +1,211 @@
+"""Configuration dataclasses for every model family in the framework.
+
+These replace the reference's scattered configuration surfaces:
+- torchscale ``DecoderConfig`` instantiated at /root/reference/kosmosx/model.py:170-183
+  (24L / 2048d / 8192ffn / 32h, subln, xpos, multiway) -> ``MagnetoConfig``
+- the hard-coded CLIP ViT-L/14 tower (/root/reference/kosmosx/model.py:154-156)
+  -> ``VisionConfig`` (defaults reproduce laion CLIP-ViT-L-14 vision_model)
+- ``PerceiverResampler(...)`` kwargs (/root/reference/kosmosx/model.py:196-203)
+  -> ``ResamplerConfig``
+- the implicit composition constants of ``Kosmos.__init__``
+  (/root/reference/kosmosx/model.py:149-206) -> ``KosmosConfig``
+
+All configs are frozen dataclasses so they are hashable and can be closed over
+by jitted functions as static values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# jnp dtypes are not hashable-friendly in dataclass defaults across jax
+# versions; store dtype names and expose resolved dtypes via properties.
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def resolve_dtype(name: str):
+    return _DTYPES[name]
+
+
+@dataclasses.dataclass(frozen=True)
+class MagnetoConfig:
+    """Magneto (sub-LN) decoder configuration.
+
+    Defaults replicate the reference decoder at
+    /root/reference/kosmosx/model.py:170-191 — note the reference passes
+    ``vocab_size=64007`` to DecoderConfig but its embedding / output projection
+    are 32002 (/root/reference/kosmosx/model.py:161-167), so the effective
+    vocab is 32002 (defect ledger SURVEY.md §2.6.2). We default to the
+    *effective* value.
+    """
+
+    vocab_size: int = 32002
+    embed_dim: int = 2048
+    ffn_dim: int = 8192
+    layers: int = 24
+    heads: int = 32
+    # Learned positional table: reference uses PositionalEmbedding(2048, 2048, 1)
+    # (/root/reference/kosmosx/model.py:164). Rows includes padding_idx+1 offset
+    # headroom in the fairseq convention: usable length = max_positions - padding_idx - 1.
+    max_positions: int = 2048
+    padding_idx: int = 1
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    activation: str = "gelu"
+    subln: bool = True
+    multiway: bool = True
+    xpos_rel_pos: bool = True
+    xpos_scale_base: int = 512
+    # numerics / execution
+    compute_dtype: str = "float32"
+    use_flash_attention: bool = True
+    flash_block_q: int = 512
+    flash_block_kv: int = 512
+    remat: bool = False
+    # scan the layer stack (compile-time win for deep models)
+    scan_layers: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.heads
+
+    @property
+    def dtype(self):
+        return resolve_dtype(self.compute_dtype)
+
+    @property
+    def embed_scale(self) -> float:
+        return float(self.embed_dim) ** 0.5
+
+    @property
+    def max_target_positions(self) -> int:
+        """Longest sequence the learned positional table can index.
+
+        fairseq convention: position ids are ``padding_idx + 1 + arange(L)``,
+        so the largest valid L satisfies ``padding_idx + L <= max_positions - 1``.
+        """
+        return self.max_positions - self.padding_idx - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    """CLIP ViT vision tower. Defaults = ViT-L/14 (laion/CLIP-ViT-L-14-laion2B
+    vision_model, referenced at /root/reference/kosmosx/model.py:154-156):
+    24 layers, 1024 dim, 16 heads, 14x14 patches on 224x224 -> 256 patches
+    + 1 CLS = 257 output tokens of dim 1024."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_dim: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_dim: int = 4096
+    layer_norm_eps: float = 1e-5
+    # laion 2B CLIP uses standard gelu; OpenAI CLIP uses quick_gelu.
+    activation: str = "gelu"
+    compute_dtype: str = "float32"
+    use_flash_attention: bool = True
+    remat: bool = False
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.heads
+
+    @property
+    def dtype(self):
+        return resolve_dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResamplerConfig:
+    """Flamingo-style PerceiverResampler. Defaults replicate
+    /root/reference/kosmosx/model.py:196-203: dim=1024, depth=2, dim_head=64,
+    heads=8, num_latents=64, num_media_embeds=257 (256 patches + CLS)."""
+
+    dim: int = 1024
+    depth: int = 2
+    dim_head: int = 64
+    heads: int = 8
+    num_latents: int = 64
+    num_media_embeds: int = 257
+    ff_mult: int = 4
+    compute_dtype: str = "float32"
+
+    @property
+    def inner_dim(self) -> int:
+        return self.dim_head * self.heads
+
+    @property
+    def dtype(self):
+        return resolve_dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class KosmosConfig:
+    """Full multimodal composition (reference Kosmos, /root/reference/kosmosx/model.py:132-253)."""
+
+    decoder: MagnetoConfig = MagnetoConfig()
+    vision: VisionConfig = VisionConfig()
+    resampler: ResamplerConfig = ResamplerConfig()
+    # linear projection resampler-dim -> decoder-dim (/root/reference/kosmosx/model.py:205-206)
+    image_embed_len: int = 64
+    # images are spliced into the embedding sequence after [BOS, <image>]
+    # (/root/reference/kosmosx/model.py:239-241 splices at [:, 0:2]).
+    splice_index: int = 2
+    # The reference re-applies embed_scale to the already-scaled spliced
+    # embedding (double-scale quirk, SURVEY.md §2.6.1). parity_double_scale=True
+    # reproduces the reference arithmetic exactly; False applies the sane
+    # single scale.
+    parity_double_scale: bool = True
+
+    @property
+    def dtype(self):
+        return self.decoder.dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """Lightweight conv/transformer audio encoder config (capability parity
+    with the experimental wav2vec2/data2vec towers,
+    /root/reference/experimental/model/allModalities/audio/kosmos_audio.py)."""
+
+    hidden_dim: int = 768
+    layers: int = 4
+    heads: int = 12
+    mlp_dim: int = 3072
+    conv_widths: Tuple[int, ...] = (512, 512, 512)
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return resolve_dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoConfig:
+    """3D-conv video encoder config (capability parity with torchvision r3d_18
+    at /root/reference/experimental/model/video/kosmos_video.py:131-134)."""
+
+    hidden_dim: int = 512
+    frame_size: int = 112
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return resolve_dtype(self.compute_dtype)

@@ -1,0 +1,34 @@
+"""Dtype policy helpers.
+
+Policy: parameters live in fp32 pytrees; matmul inputs are cast to the config
+compute dtype (bf16 on TPU); softmax / LayerNorm / residual-sensitive math run
+in fp32. This replaces the reference's fp16 Accelerator + FSDP MixedPrecision
+plumbing (/root/reference/train.py:148-171,494) — on TPU, bf16 needs no loss
+scaling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_tree(tree, dtype):
+    """Cast every floating-point leaf of a pytree to ``dtype``."""
+
+    def _cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_cast, tree)
+
+
+def cast(x, dtype):
+    if dtype is None:
+        return x
+    return x.astype(dtype)
+
+
+def promote_fp32(x):
+    return x.astype(jnp.float32)

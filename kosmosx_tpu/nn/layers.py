@@ -1,0 +1,140 @@
+"""Functional NN primitives over explicit param pytrees.
+
+Every module here is a pair of pure functions:
+  ``init_*(key, ...) -> params``   (fp32 param pytree)
+  ``*(params, x, ...) -> y``       (pure apply; casts to compute dtype itself)
+
+This is the TPU-native replacement for torch nn.Module state: param pytrees
+jit/pjit/shard cleanly, and sharding rules attach by tree path
+(kosmosx_tpu/parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from kosmosx_tpu.core import initializers as init
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+def init_linear(key, in_dim: int, out_dim: int, *, bias: bool = True,
+                w_init=init.xavier_uniform, gain: float = 1.0):
+    params = {"w": w_init(key, (in_dim, out_dim), gain) if w_init is init.xavier_uniform
+              else w_init(key, (in_dim, out_dim))}
+    if bias:
+        params["b"] = init.zeros((out_dim,))
+    return params
+
+
+def linear(params, x, *, dtype=None):
+    """y = x @ w (+ b). Weights stored (in, out): a single MXU-friendly matmul."""
+    w = params["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    y = x @ w
+    if "b" in params:
+        b = params["b"]
+        if dtype is not None:
+            b = b.astype(dtype)
+        y = y + b
+    return y
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm (fp32 math regardless of compute dtype)
+# ---------------------------------------------------------------------------
+
+def init_layer_norm(dim: int, *, bias: bool = True):
+    params = {"scale": init.ones((dim,))}
+    if bias:
+        params["bias"] = init.zeros((dim,))
+    return params
+
+
+def layer_norm(params, x, *, eps: float = 1e-5):
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+def init_embedding(key, num_embeddings: int, dim: int, *, padding_idx: Optional[int] = None,
+                   w_init=init.embedding_init):
+    table = w_init(key, (num_embeddings, dim))
+    if padding_idx is not None:
+        table = table.at[padding_idx].set(0.0)
+    return {"table": table}
+
+
+def embedding(params, ids, *, dtype=None):
+    """Plain gather. Replaces the reference's bitsandbytes 8-bit CUDA embedding
+    (/root/reference/kosmosx/model.py:161-163); in fp32/bf16 math they agree."""
+    table = params["table"]
+    if dtype is not None:
+        table = table.astype(dtype)
+    return jnp.take(table, ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Learned positional embedding, fairseq/torchscale convention
+# ---------------------------------------------------------------------------
+
+def init_positional_embedding(key, max_positions: int, dim: int, *, padding_idx: int = 1):
+    return init_embedding(key, max_positions, dim, padding_idx=padding_idx)
+
+
+def positional_embedding(params, seq_len: int, *, padding_idx: int = 1, offset=0, dtype=None):
+    """Positions are ``padding_idx + 1 + arange(L)`` (torchscale
+    PositionalEmbedding semantics for unpadded input; the reference constructs
+    it at /root/reference/kosmosx/model.py:164). ``offset`` supports
+    incremental decoding (the cache length so far).
+    """
+    positions = padding_idx + 1 + offset + jnp.arange(seq_len, dtype=jnp.int32)
+    return embedding(params, positions, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations (fp32 discipline like torchscale FeedForward: act in fp32)
+# ---------------------------------------------------------------------------
+
+def activation_fn(name: str):
+    if name == "gelu":
+        # torch.nn.functional.gelu default = exact erf gelu
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "silu" or name == "swish":
+        return jax.nn.silu
+    raise ValueError(f"unknown activation: {name}")
+
+
+# ---------------------------------------------------------------------------
+# Dropout (explicit rng; identity when rng is None or rate == 0)
+# ---------------------------------------------------------------------------
+
+def dropout(x, rate: float, rng: Optional[jax.Array]):
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))

@@ -1,0 +1,77 @@
+"""xPos (extrapolatable rotary) relative position encoding.
+
+Replicates torchscale's XPOS semantics (the reference enables it via
+``xpos_rel_pos=True`` at /root/reference/kosmosx/model.py:180; behavioral
+notes at /root/reference/README.md:86):
+
+- rotary angles use absolute positions ``offset .. offset+L-1`` with
+  ``inv_freq = 10000**(-arange(half)/half)`` over *half* the head dim,
+  applied in rotate-every-two / duplicate-interleave layout;
+- a per-dim decay ``zeta = (arange(0, d, 2) + 0.4 d) / (1.4 d)`` raised to
+  ``(pos - center) / scale_base``; queries are up-scaled (``zeta**power``),
+  keys down-scaled (``zeta**-power``), so attention scores pick up the
+  relative factor ``zeta**((i - j)/scale_base)`` — the center cancels exactly
+  in q·k, so it only matters for numerical range.
+
+For full-sequence forward we center like torchscale (``(L+offset)//2``).
+For KV-cache decoding we must keep cached keys valid across steps, so callers
+pass a *static* ``center`` (e.g. ``cache_len // 2``); scores are mathematically
+identical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def _rotate_every_two(x):
+    """[x0, x1, x2, x3, ...] -> [-x1, x0, -x3, x2, ...] along the last axis."""
+    x1 = x[..., ::2]
+    x2 = x[..., 1::2]
+    return jnp.stack((-x2, x1), axis=-1).reshape(x.shape)
+
+
+def _duplicate_interleave(m):
+    """(L, half) -> (L, 2*half) with each column repeated twice, interleaved."""
+    return jnp.repeat(m, 2, axis=-1)
+
+
+def xpos_sin_cos_scale(length: int, head_dim: int, *, offset=0,
+                       scale_base: int = 512, center=None, dtype=jnp.float32):
+    """Returns (sin, cos, scale), each (length, head_dim)."""
+    half = head_dim // 2
+    pos = offset + jnp.arange(length, dtype=jnp.float32)  # (L,)
+    if center is None:
+        center = (length + offset) // 2  # torchscale centering
+    power = (pos - center) / float(scale_base)  # (L,)
+    zeta = (jnp.arange(0, head_dim, 2, dtype=jnp.float32) + 0.4 * head_dim) / (1.4 * head_dim)  # (half,)
+    scale = zeta[None, :] ** power[:, None]  # (L, half)
+
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))  # (half,)
+    sinusoid = pos[:, None] * inv_freq[None, :]  # (L, half)
+    sin = jnp.sin(sinusoid)
+    cos = jnp.cos(sinusoid)
+    return sin.astype(dtype), cos.astype(dtype), scale.astype(dtype)
+
+
+def apply_xpos(x, *, offset=0, scale_base: int = 512, downscale: bool = False,
+               center=None):
+    """Apply xPos rotation + scaling to ``x`` of shape (..., L, head_dim).
+
+    ``downscale=True`` for keys (scale**-power), False for queries.
+    Math runs in fp32; result cast back to x.dtype.
+    """
+    orig_dtype = x.dtype
+    length, head_dim = x.shape[-2], x.shape[-1]
+    sin, cos, scale = xpos_sin_cos_scale(
+        length, head_dim, offset=offset, scale_base=scale_base, center=center)
+    if downscale:
+        scale = 1.0 / scale
+    sin = _duplicate_interleave(sin * scale)
+    cos = _duplicate_interleave(cos * scale)
+    x32 = x.astype(jnp.float32)
+    out = x32 * cos + _rotate_every_two(x32) * sin
+    return out.astype(orig_dtype)
