@@ -64,6 +64,10 @@ class MagnetoConfig:
     multiway: bool = True
     xpos_rel_pos: bool = True
     xpos_scale_base: int = 512
+    # embed_scale = sqrt(embed_dim) applied to token embeddings (fairseq /
+    # torchscale "scale_embedding"; the double application of this factor is
+    # the reference's double-scale quirk, SURVEY.md §2.6.1)
+    scale_embedding: bool = True
     # numerics / execution
     compute_dtype: str = "float32"
     use_flash_attention: bool = True
@@ -83,7 +87,7 @@ class MagnetoConfig:
 
     @property
     def embed_scale(self) -> float:
-        return float(self.embed_dim) ** 0.5
+        return float(self.embed_dim) ** 0.5 if self.scale_embedding else 1.0
 
     @property
     def max_target_positions(self) -> int:

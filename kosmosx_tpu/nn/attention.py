@@ -1,0 +1,185 @@
+"""Magneto-style multihead self-attention (sub-LN, xPos, multiway) for TPU.
+
+Functional re-design of the attention used by the reference decoder (the
+torchscale ``MultiheadAttention`` instantiated through ``Decoder`` at
+/root/reference/kosmosx/model.py:186-191 with ``subln=True, xpos_rel_pos=True,
+multiway=True``). Semantics replicated:
+
+- separate q/k/v/out projections (embed_dim -> embed_dim, bias=True),
+  xavier-uniform init with gain 1/sqrt(2) for q/k/v, gain 1 for out;
+- q scaled by head_dim**-0.5 *before* xPos (multiplicative, commutes);
+- xPos rotation+decay applied per head: keys downscaled, queries upscaled;
+- softmax in fp32;
+- sub-LN: an extra LayerNorm on the merged attention output *before* the out
+  projection (the Magneto "inner_attn_ln");
+- multiway: k/q/v/out projections and inner LN duplicated into two experts
+  routed by a static position split (nn/multiway.py).
+
+The hot path runs the Pallas flash-attention kernel (ops/flash_attention.py);
+a jnp path exists for short sequences, attention-dropout training, and
+KV-cache decode steps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kosmosx_tpu.core import initializers as init
+from kosmosx_tpu.nn import layers
+from kosmosx_tpu.nn.multiway import init_multiway, multiway_apply
+from kosmosx_tpu.nn.xpos import apply_xpos
+from kosmosx_tpu.ops.flash_attention import flash_attention
+
+# Sequences shorter than this stay on the plain-jnp path: a 24-layer model at
+# tiny lengths is launch-latency bound and XLA's fused attention wins.
+_FLASH_MIN_LEN = 256
+
+
+def init_self_attention(key, embed_dim: int, heads: int, *, subln: bool = True,
+                        multiway: bool = False) -> Dict[str, Any]:
+    kq, kk, kv, ko, kl = jax.random.split(key, 5)
+    gain = 1.0 / math.sqrt(2.0)
+
+    def make_linear(g):
+        def f(k_):
+            return {"w": init.xavier_uniform(k_, (embed_dim, embed_dim), g),
+                    "b": init.zeros((embed_dim,))}
+        return f
+
+    params = {
+        "q": init_multiway(multiway, kq, make_linear(gain)),
+        "k": init_multiway(multiway, kk, make_linear(gain)),
+        "v": init_multiway(multiway, kv, make_linear(gain)),
+        "out": init_multiway(multiway, ko, make_linear(1.0)),
+    }
+    if subln:
+        params["inner_ln"] = init_multiway(
+            multiway, kl, lambda k_: layers.init_layer_norm(embed_dim))
+    return params
+
+
+def _split_heads(x, heads: int):
+    b, l, d = x.shape
+    return x.reshape(b, l, heads, d // heads).transpose(0, 2, 1, 3)  # (B,H,L,hd)
+
+
+def _merge_heads(x):
+    b, h, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * hd)
+
+
+def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
+                   attn_dropout: float, rng, segment_q=None, segment_kv=None):
+    """(B,H,Lq,hd) attention in fp32 softmax. ``kv_len`` masks cache positions
+    >= kv_len (decode path); ``segment_*`` mask cross-segment attention."""
+    lq, lk = q.shape[-2], k.shape[-2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    mask = None
+    if causal and lq > 1:
+        qi = jnp.arange(lq)[:, None] + (lk - lq)
+        kj = jnp.arange(lk)[None, :]
+        mask = (kj <= qi)[None, None]
+    if kv_len is not None:
+        valid = jnp.arange(lk)[None, None, None, :] < kv_len[:, None, None, None]
+        mask = valid if mask is None else mask & valid
+    if segment_q is not None:
+        seg = segment_q[:, None, :, None] == segment_kv[:, None, None, :]
+        mask = seg if mask is None else mask & seg
+    if mask is not None:
+        s = jnp.where(mask, s, neg)
+    p = jax.nn.softmax(s, axis=-1)
+    if rng is not None and attn_dropout > 0.0:
+        p = layers.dropout(p, attn_dropout, rng)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def self_attention(params, x, *, heads: int, subln: bool = True,
+                   multiway: bool = False, split: Optional[int] = None,
+                   causal: bool = True,
+                   xpos: bool = True, xpos_scale_base: int = 512,
+                   use_flash: bool = True,
+                   flash_block_q: int = 512, flash_block_kv: int = 512,
+                   segment_ids: Optional[jax.Array] = None,
+                   attn_dropout: float = 0.0,
+                   rng: Optional[jax.Array] = None,
+                   cache: Optional[Dict[str, jax.Array]] = None,
+                   cache_index: Optional[jax.Array] = None,
+                   dtype=None,
+                   interpret: bool = False,
+                   ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """Self-attention over ``x`` (B, L, D).
+
+    KV-cache decode: pass ``cache = {"k": (B,H,Lmax,hd), "v": ...}`` and
+    ``cache_index`` (B,)-or-scalar int32 = number of tokens already cached.
+    New keys/values are written at ``cache_index`` and attention runs over the
+    full cache with a validity mask. Returns (out, updated_cache).
+
+    xPos under caching uses absolute-position offsets with a *fixed* center 0
+    so cached keys stay valid across steps (see nn/xpos.py).
+    """
+    b, l, d = x.shape
+    hd = d // heads
+
+    def proj(p, v_):
+        return multiway_apply(multiway, lambda pp, xx: layers.linear(pp, xx, dtype=dtype),
+                              p, v_, split)
+
+    q = proj(params["q"], x) * (hd ** -0.5)
+    k = proj(params["k"], x)
+    v = proj(params["v"], x)
+    q, k, v = _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads)
+
+    if cache is None:
+        if xpos:
+            # full-sequence path: torchscale centers at L//2 (cancels in q.k)
+            center = l // 2
+            q = apply_xpos(q, scale_base=xpos_scale_base, downscale=False, center=center)
+            k = apply_xpos(k, scale_base=xpos_scale_base, downscale=True, center=center)
+        new_cache = None
+        seg_q = seg_kv = segment_ids
+        use_flash_here = (use_flash and l >= _FLASH_MIN_LEN
+                          and not (rng is not None and attn_dropout > 0.0))
+        if use_flash_here:
+            o = flash_attention(q, k, v, causal=causal, sm_scale=1.0,
+                                q_segment_ids=seg_q, kv_segment_ids=seg_kv,
+                                block_q=flash_block_q, block_kv=flash_block_kv,
+                                interpret=interpret)
+        else:
+            o = _jnp_attention(q, k, v, causal=causal, kv_len=None,
+                               attn_dropout=attn_dropout, rng=rng,
+                               segment_q=seg_q, segment_kv=seg_kv)
+            o = o.astype(x.dtype)
+    else:
+        # decode: x is the new chunk (usually L=1); cache holds past K/V
+        idx = jnp.asarray(cache_index, jnp.int32)
+        if idx.ndim == 0:
+            idx = jnp.broadcast_to(idx, (b,))
+        if xpos:
+            # offset = number of cached tokens; fixed center=0 across steps
+            q = apply_xpos(q, offset=idx, scale_base=xpos_scale_base,
+                           downscale=False, center=0)
+            k = apply_xpos(k, offset=idx, scale_base=xpos_scale_base,
+                           downscale=True, center=0)
+        # scatter new k/v into the cache at position idx
+        k_cache, v_cache = cache["k"], cache["v"]
+        lmax = k_cache.shape[2]
+        pos = idx[:, None] + jnp.arange(l)[None, :]           # (B, L)
+        onehot = jax.nn.one_hot(pos, lmax, dtype=k.dtype)     # (B, L, Lmax)
+        k_cache = k_cache + jnp.einsum("bql,bhqd->bhld", onehot, k)
+        v_cache = v_cache + jnp.einsum("bql,bhqd->bhld", onehot, v)
+        new_cache = {"k": k_cache, "v": v_cache}
+        kv_len = idx + l
+        o = _jnp_attention(q, k_cache, v_cache, causal=causal, kv_len=kv_len,
+                           attn_dropout=0.0, rng=None)
+        o = o.astype(x.dtype)
+
+    o = _merge_heads(o)
+    if subln and "inner_ln" in params:
+        o = multiway_apply(multiway, layers.layer_norm, params["inner_ln"], o, split)
+    o = proj(params["out"], o)
+    return o, new_cache

@@ -1,0 +1,295 @@
+"""Magneto (sub-LN) decoder stack — the framework's core language model body.
+
+TPU-native re-design of the reference's torchscale ``Decoder`` (built at
+/root/reference/kosmosx/model.py:170-191 with 24L / 2048d / 8192ffn / 32h,
+``subln=True, xpos_rel_pos=True, multiway=True``). Semantics replicated from
+the survey's structural analysis (SURVEY.md §2.1, §3.1):
+
+- ``forward_embedding``: ``x = embed_scale * E[tokens] + learned_positions``
+  where ``embed_scale = sqrt(embed_dim)``; returns both ``x`` and the
+  position-free scaled embedding (the reference splices image embeddings into
+  the latter, /root/reference/kosmosx/model.py:238-244);
+- pre-LN layers: ``x += Attn(LN(x))``; ``x += FFN(LN(x))``;
+- sub-LN extras: inner LayerNorm before the attention out-projection and
+  between the FFN's activation and fc2;
+- Magneto init: xavier projections, then fc1/fc2/out_proj/v_proj weights
+  multiplied by ``sqrt(log(2*layers))``;
+- FFN activation computed in fp32 (torchscale ``activation_fn(x.float())``);
+- final LayerNorm after the stack, then an untied output projection
+  (vocab logits), init N(0, d**-0.5) per /root/reference/kosmosx/model.py:166-167;
+- multiway: every layer-internal projection/LN duplicated into two experts.
+
+TPU-first execution:
+- optional ``lax.scan`` over the (stacked-param) layer stack — one traced
+  layer body regardless of depth, cutting compile time ~24x for the flagship;
+- optional ``jax.checkpoint`` (remat) per layer for training memory;
+- Pallas flash attention on the hot path (nn/attention.py);
+- KV cache threaded functionally for autoregressive decode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kosmosx_tpu.core import initializers as init
+from kosmosx_tpu.core.config import MagnetoConfig
+from kosmosx_tpu.nn import layers
+from kosmosx_tpu.nn.attention import init_self_attention, self_attention
+from kosmosx_tpu.nn.multiway import init_multiway, multiway_apply
+
+
+# ---------------------------------------------------------------------------
+# FFN
+# ---------------------------------------------------------------------------
+
+def init_ffn(key, embed_dim: int, ffn_dim: int, *, subln: bool = True):
+    k1, k2 = jax.random.split(key)
+    params = {
+        "fc1": {"w": init.xavier_uniform(k1, (embed_dim, ffn_dim)),
+                "b": init.zeros((ffn_dim,))},
+        "fc2": {"w": init.xavier_uniform(k2, (ffn_dim, embed_dim)),
+                "b": init.zeros((embed_dim,))},
+    }
+    if subln:
+        params["ffn_ln"] = layers.init_layer_norm(ffn_dim)
+    return params
+
+
+def ffn(params, x, *, activation: str = "gelu", dropout_rate: float = 0.0,
+        activation_dropout: float = 0.0, rng=None, dtype=None):
+    act = layers.activation_fn(activation)
+    h = layers.linear(params["fc1"], x, dtype=dtype)
+    h = act(h.astype(jnp.float32)).astype(h.dtype)  # fp32 activation discipline
+    if rng is not None and activation_dropout > 0.0:
+        rng, sub = jax.random.split(rng)
+        h = layers.dropout(h, activation_dropout, sub)
+    if "ffn_ln" in params:
+        h = layers.layer_norm(params["ffn_ln"], h)
+    h = layers.linear(params["fc2"], h, dtype=dtype)
+    if rng is not None and dropout_rate > 0.0:
+        h = layers.dropout(h, dropout_rate, rng)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+def init_decoder_layer(key, cfg: MagnetoConfig):
+    ka, kf, kn1, kn2 = jax.random.split(key, 4)
+    params = {
+        "attn": init_self_attention(ka, cfg.embed_dim, cfg.heads,
+                                    subln=cfg.subln, multiway=cfg.multiway),
+        "attn_ln": init_multiway(cfg.multiway, kn1,
+                                 lambda k_: layers.init_layer_norm(cfg.embed_dim)),
+        "ffn": init_multiway(cfg.multiway, kf,
+                             lambda k_: init_ffn(k_, cfg.embed_dim, cfg.ffn_dim,
+                                                 subln=cfg.subln)),
+        "final_ln": init_multiway(cfg.multiway, kn2,
+                                  lambda k_: layers.init_layer_norm(cfg.embed_dim)),
+    }
+    if cfg.subln:
+        params = _apply_magneto_gamma(params, init.magneto_gamma(cfg.layers))
+    return params
+
+
+def _apply_magneto_gamma(layer_params, gamma: float):
+    """Multiply fc1/fc2/attention-out/attention-v weights by the Magneto gain
+    (torchscale scales these after construction when subln=True)."""
+
+    def scale_linear(p):
+        return {**p, "w": p["w"] * gamma}
+
+    def scale_maybe_multiway(p):
+        if "A" in p and "B" in p:
+            return {"A": scale_linear(p["A"]), "B": scale_linear(p["B"])}
+        return scale_linear(p)
+
+    def scale_ffn(p):
+        if "A" in p and "B" in p:
+            return {"A": scale_ffn(p["A"]), "B": scale_ffn(p["B"])}
+        return {**p, "fc1": scale_linear(p["fc1"]), "fc2": scale_linear(p["fc2"])}
+
+    out = dict(layer_params)
+    attn = dict(out["attn"])
+    attn["v"] = scale_maybe_multiway(attn["v"])
+    attn["out"] = scale_maybe_multiway(attn["out"])
+    out["attn"] = attn
+    out["ffn"] = scale_ffn(out["ffn"])
+    return out
+
+
+def decoder_layer(params, x, cfg: MagnetoConfig, *,
+                  split: Optional[int] = None,
+                  segment_ids: Optional[jax.Array] = None,
+                  rng: Optional[jax.Array] = None,
+                  cache: Optional[Dict[str, jax.Array]] = None,
+                  cache_index: Optional[jax.Array] = None,
+                  interpret: bool = False):
+    dtype = cfg.dtype
+    rngs = list(jax.random.split(rng, 3)) if rng is not None else [None, None, None]
+
+    residual = x
+    h = multiway_apply(cfg.multiway, layers.layer_norm, params["attn_ln"], x, split)
+    h, new_cache = self_attention(
+        params["attn"], h, heads=cfg.heads, subln=cfg.subln,
+        multiway=cfg.multiway, split=split, causal=True,
+        xpos=cfg.xpos_rel_pos, xpos_scale_base=cfg.xpos_scale_base,
+        use_flash=cfg.use_flash_attention,
+        flash_block_q=cfg.flash_block_q, flash_block_kv=cfg.flash_block_kv,
+        segment_ids=segment_ids, attn_dropout=cfg.attention_dropout,
+        rng=rngs[0], cache=cache, cache_index=cache_index,
+        dtype=dtype, interpret=interpret)
+    if rngs[1] is not None and cfg.dropout > 0.0:
+        h = layers.dropout(h, cfg.dropout, rngs[1])
+    x = residual + h
+
+    residual = x
+    h = multiway_apply(cfg.multiway, layers.layer_norm, params["final_ln"], x, split)
+    h = multiway_apply(
+        cfg.multiway,
+        lambda p, xx: ffn(p, xx, activation=cfg.activation,
+                          dropout_rate=cfg.dropout,
+                          activation_dropout=cfg.activation_dropout,
+                          rng=rngs[2], dtype=dtype),
+        params["ffn"], h, split)
+    x = residual + h
+    return x, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full decoder
+# ---------------------------------------------------------------------------
+
+def init_decoder(key, cfg: MagnetoConfig, *, with_embeddings: bool = True):
+    """Full decoder param pytree. ``with_embeddings=False`` builds only the
+    layer stack + final LN (for callers that own their embedding tables)."""
+    keys = jax.random.split(key, 5)
+    params: Dict[str, Any] = {}
+    if with_embeddings:
+        params["embed"] = layers.init_embedding(
+            keys[0], cfg.vocab_size, cfg.embed_dim, padding_idx=cfg.padding_idx)
+        params["pos"] = layers.init_positional_embedding(
+            keys[1], cfg.max_positions, cfg.embed_dim, padding_idx=cfg.padding_idx)
+        params["out_proj"] = {
+            "w": init.magneto_output_projection(keys[2], (cfg.embed_dim, cfg.vocab_size))}
+
+    layer_keys = jax.random.split(keys[3], cfg.layers)
+    if cfg.scan_layers:
+        params["layers"] = jax.vmap(lambda k: init_decoder_layer(k, cfg))(layer_keys)
+    else:
+        params["layers"] = [init_decoder_layer(k, cfg) for k in layer_keys]
+    params["ln"] = init_multiway(cfg.multiway, keys[4],
+                                 lambda k_: layers.init_layer_norm(cfg.embed_dim))
+    return params
+
+
+def forward_embedding(params, cfg: MagnetoConfig, tokens=None, *,
+                      token_embedding=None, offset=0,
+                      rng: Optional[jax.Array] = None
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """torchscale ``Decoder.forward_embedding`` semantics
+    (SURVEY.md §3.1 EMBED/RE-EMBED steps):
+
+    returns ``(x, embed)`` with ``embed = embed_scale * token_embedding`` (no
+    positions) and ``x = embed + learned_positions`` (+ dropout when
+    training). Passing ``token_embedding`` skips the table lookup — this is
+    how the reference re-embeds its spliced image+text sequence, which
+    re-applies embed_scale (the double-scale quirk, SURVEY.md §2.6.1);
+    ``KosmosConfig.parity_double_scale`` controls whether we reproduce it.
+    """
+    dtype = cfg.dtype
+    if token_embedding is None:
+        token_embedding = layers.embedding(params["embed"], tokens, dtype=dtype)
+    seq_len = token_embedding.shape[1]
+    embed = cfg.embed_scale * token_embedding
+    positions = layers.positional_embedding(
+        params["pos"], seq_len, padding_idx=cfg.padding_idx, offset=offset,
+        dtype=dtype)
+    x = embed + positions
+    if rng is not None and cfg.dropout > 0.0:
+        x = layers.dropout(x, cfg.dropout, rng)
+    return x, embed
+
+
+def run_layers(params, x, cfg: MagnetoConfig, *,
+               split: Optional[int] = None,
+               segment_ids: Optional[jax.Array] = None,
+               rng: Optional[jax.Array] = None,
+               caches: Optional[Any] = None,
+               cache_index: Optional[jax.Array] = None,
+               interpret: bool = False):
+    """Run the layer stack + final LN. Returns (hidden, new_caches)."""
+
+    def one_layer(lp, xx, lrng, lcache):
+        return decoder_layer(lp, xx, cfg, split=split, segment_ids=segment_ids,
+                             rng=lrng, cache=lcache, cache_index=cache_index,
+                             interpret=interpret)
+
+    if cfg.remat:
+        one_layer = jax.checkpoint(one_layer,
+                                   static_argnums=(),
+                                   prevent_cse=False)
+
+    if cfg.scan_layers:
+        # None subtrees are leafless pytrees, so they scan through unchanged —
+        # one body covers all rng/cache combinations with a single trace.
+        rngs = jax.random.split(rng, cfg.layers) if rng is not None else None
+
+        def body(xx, sc):
+            lp, lrng, lcache = sc
+            y, ncache = one_layer(lp, xx, lrng, lcache)
+            return y, ncache
+
+        x, new_caches = jax.lax.scan(body, x, (params["layers"], rngs, caches))
+        if caches is None:
+            new_caches = None
+    else:
+        new_caches = [] if caches is not None else None
+        rngs = (jax.random.split(rng, cfg.layers) if rng is not None else
+                [None] * cfg.layers)
+        for i, lp in enumerate(params["layers"]):
+            lcache = caches[i] if caches is not None else None
+            x, ncache = one_layer(lp, x, rngs[i], lcache)
+            if caches is not None:
+                new_caches.append(ncache)
+
+    x = multiway_apply(cfg.multiway, layers.layer_norm, params["ln"], x, split)
+    return x, new_caches
+
+
+def output_logits(params, hidden, cfg: MagnetoConfig):
+    return layers.linear(params["out_proj"], hidden, dtype=cfg.dtype)
+
+
+def decoder_forward(params, tokens, cfg: MagnetoConfig, *,
+                    segment_ids: Optional[jax.Array] = None,
+                    rng: Optional[jax.Array] = None,
+                    interpret: bool = False):
+    """tokens (B, L) -> logits (B, L, vocab). The KosmosLanguage path
+    (/root/reference/kosmosx/model.py:310-320: single embed-scale + positions,
+    then decode, then project)."""
+    rngs = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
+    x, _ = forward_embedding(params, cfg, tokens, rng=rngs[0])
+    h, _ = run_layers(params, x, cfg, segment_ids=segment_ids, rng=rngs[1],
+                      interpret=interpret)
+    return output_logits(params, h, cfg)
+
+
+# ---------------------------------------------------------------------------
+# KV cache helpers
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: MagnetoConfig, batch: int, max_len: int, dtype=None):
+    """Zeroed per-layer KV caches. Stacked (layers, ...) when scan_layers."""
+    dtype = dtype or cfg.dtype
+    hd = cfg.head_dim
+    shape = (batch, cfg.heads, max_len, hd)
+    one = lambda: {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if cfg.scan_layers:
+        stacked = (cfg.layers,) + shape
+        return {"k": jnp.zeros(stacked, dtype), "v": jnp.zeros(stacked, dtype)}
+    return [one() for _ in range(cfg.layers)]

@@ -15,13 +15,13 @@ notes at /root/reference/README.md:86):
 
 For full-sequence forward we center like torchscale (``(L+offset)//2``).
 For KV-cache decoding we must keep cached keys valid across steps, so callers
-pass a *static* ``center`` (e.g. ``cache_len // 2``); scores are mathematically
-identical.
+pass a *static* ``center`` (e.g. 0); scores are mathematically identical.
+
+``offset`` may be a Python int, a traced scalar, or a per-batch ``(B,)``
+array (decode steps with ragged cache lengths).
 """
 
 from __future__ import annotations
-
-from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,23 +35,29 @@ def _rotate_every_two(x):
 
 
 def _duplicate_interleave(m):
-    """(L, half) -> (L, 2*half) with each column repeated twice, interleaved."""
+    """(..., half) -> (..., 2*half) with each column repeated twice, interleaved."""
     return jnp.repeat(m, 2, axis=-1)
 
 
 def xpos_sin_cos_scale(length: int, head_dim: int, *, offset=0,
                        scale_base: int = 512, center=None, dtype=jnp.float32):
-    """Returns (sin, cos, scale), each (length, head_dim)."""
+    """Returns (sin, cos, scale), each (..., length, head_dim//2) where the
+    leading dims come from a non-scalar ``offset``."""
     half = head_dim // 2
-    pos = offset + jnp.arange(length, dtype=jnp.float32)  # (L,)
+    offset = jnp.asarray(offset, jnp.float32)
+    pos = offset[..., None] + jnp.arange(length, dtype=jnp.float32)  # (..., L)
     if center is None:
         center = (length + offset) // 2  # torchscale centering
-    power = (pos - center) / float(scale_base)  # (L,)
-    zeta = (jnp.arange(0, head_dim, 2, dtype=jnp.float32) + 0.4 * head_dim) / (1.4 * head_dim)  # (half,)
-    scale = zeta[None, :] ** power[:, None]  # (L, half)
+    else:
+        center = jnp.asarray(center, jnp.float32)
+        if center.ndim:
+            center = center[..., None]
+    power = (pos - center) / float(scale_base)  # (..., L)
+    zeta = (jnp.arange(0, head_dim, 2, dtype=jnp.float32) + 0.4 * head_dim) / (1.4 * head_dim)
+    scale = zeta ** power[..., None]  # (..., L, half)
 
-    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))  # (half,)
-    sinusoid = pos[:, None] * inv_freq[None, :]  # (L, half)
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    sinusoid = pos[..., None] * inv_freq  # (..., L, half)
     sin = jnp.sin(sinusoid)
     cos = jnp.cos(sinusoid)
     return sin.astype(dtype), cos.astype(dtype), scale.astype(dtype)
@@ -62,16 +68,24 @@ def apply_xpos(x, *, offset=0, scale_base: int = 512, downscale: bool = False,
     """Apply xPos rotation + scaling to ``x`` of shape (..., L, head_dim).
 
     ``downscale=True`` for keys (scale**-power), False for queries.
-    Math runs in fp32; result cast back to x.dtype.
+    ``offset`` may be scalar or (B,) for per-batch cache lengths (x must then
+    be (B, ..., L, head_dim)). Math runs in fp32; result cast back to x.dtype.
     """
     orig_dtype = x.dtype
     length, head_dim = x.shape[-2], x.shape[-1]
+    offset_arr = jnp.asarray(offset)
     sin, cos, scale = xpos_sin_cos_scale(
         length, head_dim, offset=offset, scale_base=scale_base, center=center)
     if downscale:
         scale = 1.0 / scale
-    sin = _duplicate_interleave(sin * scale)
+    sin = _duplicate_interleave(sin * scale)  # (..., L, head_dim)
     cos = _duplicate_interleave(cos * scale)
+    if offset_arr.ndim == 1:
+        # per-batch tables: (B, L, hd) -> broadcast against x (B, ..., L, hd)
+        extra = x.ndim - 3
+        shape = (sin.shape[0],) + (1,) * extra + sin.shape[1:]
+        sin = sin.reshape(shape)
+        cos = cos.reshape(shape)
     x32 = x.astype(jnp.float32)
     out = x32 * cos + _rotate_every_two(x32) * sin
     return out.astype(orig_dtype)
