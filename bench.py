@@ -1,0 +1,146 @@
+"""Benchmark: images+text tokens/sec/chip on the flagship Kosmos model.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...extras}
+
+Methodology (axon-tunnel-safe, see .claude/skills/verify/SKILL.md):
+``block_until_ready`` does not block and identical executions are cached, so
+we chain ITERS forward passes inside one jit via ``lax.scan`` with a data
+dependency (next iteration's tokens/images derive from this iteration's
+logits), reduce to a scalar, and time the host fetch. Inputs are perturbed
+between timed calls.
+
+Workload = BASELINE.json config 4: batched bf16, one image + text at decoder
+sequence length 2048 (1984 text tokens + 64 spliced image embeddings), on the
+24L/2048d/32h multiway decoder with CLIP ViT-L/14 + resampler in the loop.
+
+``vs_baseline``: ratio against a recorded naive-XLA implementation of the
+same model (fp32, no Pallas flash attention, no layer scan — the "direct
+translation" a torch port would produce; measured once on this chip and
+cached in bench_baseline.json). The reference itself publishes no numbers
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+BATCH = 4
+TEXT_LEN = 1984          # + 64 image embeddings = 2048 decoder positions
+ITERS = 8
+
+
+def _build(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from kosmosx_tpu.core.dtypes import cast_tree
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    params = Kosmos.init(jax.random.PRNGKey(0), cfg)
+    params = cast_tree(params, cfg.dtype)
+    vocab = cfg.decoder.vocab_size
+
+    def chained(tokens, images):
+        def body(carry, _):
+            toks, imgs = carry
+            logits = Kosmos.apply(params, toks, imgs, cfg)
+            # data dependency: next inputs derive from these logits, so XLA
+            # cannot hoist or elide iterations
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            toks = jnp.roll(toks, 1, axis=1).at[:, 0].set(nxt)
+            imgs = imgs * (1.0 + 1e-9 * nxt[0].astype(imgs.dtype))
+            return (toks, imgs), logits[0, 0, 0]
+
+        (toks, imgs), probe = jax.lax.scan(body, (tokens, images), None,
+                                           length=ITERS)
+        return jnp.sum(probe) + jnp.sum(toks[:, 0])
+
+    return jax.jit(chained)
+
+
+def _measure(cfg, label):
+    import jax
+    import jax.numpy as jnp
+
+    fn = _build(cfg)
+    vocab = cfg.decoder.vocab_size
+    key = jax.random.PRNGKey(1)
+    toks = jax.random.randint(key, (BATCH, TEXT_LEN), 4, vocab, jnp.int32)
+    imgs = jax.random.normal(jax.random.fold_in(key, 1),
+                             (BATCH, 3, 224, 224), jnp.float32)
+    # warmup/compile
+    float(fn(toks, imgs))
+    times = []
+    for i in range(3):
+        toks = jax.random.randint(jax.random.fold_in(key, 2 + i),
+                                  (BATCH, TEXT_LEN), 4, vocab, jnp.int32)
+        t0 = time.perf_counter()
+        float(fn(toks, imgs))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    tokens_per_iter = BATCH * (TEXT_LEN + 64)
+    tps = tokens_per_iter * ITERS / best
+    prefill_ms = best / ITERS * 1000.0
+    print(f"# {label}: {tps:,.0f} tok/s  ({prefill_ms:.1f} ms / "
+          f"{tokens_per_iter}-token prefill)", file=sys.stderr)
+    return tps, prefill_ms
+
+
+def main():
+    from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
+                                         ResamplerConfig, VisionConfig)
+
+    main_cfg = KosmosConfig(
+        decoder=MagnetoConfig(compute_dtype="bfloat16", scan_layers=True,
+                              dropout=0.0, attention_dropout=0.0,
+                              use_flash_attention=True,
+                              flash_block_q=512, flash_block_kv=512),
+        vision=VisionConfig(compute_dtype="bfloat16"),
+        resampler=ResamplerConfig(compute_dtype="bfloat16"),
+    )
+    tps, prefill_ms = _measure(main_cfg, "kosmosx_tpu bf16+flash")
+
+    baseline_tps = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline_tps = json.load(f).get("naive_tokens_per_sec")
+    if baseline_tps is None or os.environ.get("BENCH_REMEASURE_BASELINE"):
+        naive_cfg = KosmosConfig(
+            decoder=MagnetoConfig(compute_dtype="float32", scan_layers=True,
+                                  dropout=0.0, attention_dropout=0.0,
+                                  use_flash_attention=False),
+            vision=VisionConfig(compute_dtype="float32",
+                                use_flash_attention=False),
+            resampler=ResamplerConfig(compute_dtype="float32"),
+        )
+        try:
+            baseline_tps, _ = _measure(naive_cfg, "naive fp32 no-flash")
+            with open(BASELINE_FILE, "w") as f:
+                json.dump({"naive_tokens_per_sec": baseline_tps,
+                           "note": "fp32, jnp attention, same model/shapes; "
+                                   "the direct-translation baseline"}, f)
+        except Exception as e:  # pragma: no cover — e.g. OOM at fp32
+            print(f"# naive baseline failed: {e}", file=sys.stderr)
+            baseline_tps = None
+
+    result = {
+        "metric": "images+text tokens/sec/chip (24L/2048d multiway decoder, "
+                  "CLIP ViT-L/14 + resampler, bf16, seq 2048, batch 4)",
+        "value": round(tps, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(tps / baseline_tps, 3) if baseline_tps else None,
+        "prefill_ms_per_batch": round(prefill_ms, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Autoregressive generation with KV cache.
+
+The reference has NO generation loop anywhere (SURVEY.md §1: torchscale's
+``incremental_state`` support is never exercised) yet BASELINE.json config 5
+demands "autoregressive generation with KV cache". This module provides it,
+TPU-style:
+
+- prefill: one jitted forward over the whole prompt that also writes the
+  per-layer KV caches (static shapes, flash-attention-eligible);
+- decode: a single ``lax.scan`` over steps — one compiled step regardless of
+  ``max_new_tokens``; per-batch cache indices support ragged prompts;
+- sampling: greedy / temperature / top-k / nucleus (top-p), fp32 logits.
+
+For Kosmos, the multimodal prefix (vision tower + resampler + splice) runs
+once in the prefill, then decode is pure text.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kosmosx_tpu.core.config import KosmosConfig, MagnetoConfig
+from kosmosx_tpu.data.splice import splice_embeddings
+from kosmosx_tpu.nn import decoder as dec
+from kosmosx_tpu.nn import layers
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    max_new_tokens: int = 64
+    temperature: float = 1.0
+    top_k: int = 0           # 0 = disabled
+    top_p: float = 1.0       # 1.0 = disabled
+    greedy: bool = False
+    eos_id: Optional[int] = None
+
+
+def sample_logits(logits: jax.Array, rng: jax.Array,
+                  cfg: SamplingConfig) -> jax.Array:
+    """logits (B, V) -> token ids (B,)."""
+    logits = logits.astype(jnp.float32)
+    if cfg.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if cfg.temperature != 1.0:
+        logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest set with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < cfg.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# text-only generation (KosmosLanguage)
+# ---------------------------------------------------------------------------
+
+def _prefill(params, cfg: MagnetoConfig, x, caches, prompt_lengths,
+             segment_ids):
+    """Run the embedded prompt through the stack, writing KV caches."""
+    idx0 = jnp.zeros_like(prompt_lengths)
+    h, caches = dec.run_layers(params, x, cfg, segment_ids=segment_ids,
+                               caches=caches, cache_index=idx0)
+    logits = dec.output_logits(params, h, cfg)
+    # last real position per batch row
+    last = jnp.take_along_axis(
+        logits, (prompt_lengths - 1)[:, None, None], axis=1)[:, 0]
+    return last, caches
+
+
+def _decode_scan(params, cfg: MagnetoConfig, first_tokens, caches,
+                 start_index, scfg: SamplingConfig, rng):
+    """lax.scan decode loop: one step per new token."""
+    b = first_tokens.shape[0]
+
+    def step(carry, step_rng):
+        tokens, caches, index, done = carry
+        x, _ = dec.forward_embedding(params, cfg, tokens[:, None],
+                                     offset=index[:, None])
+        h, caches = dec.run_layers(params, x, cfg, caches=caches,
+                                   cache_index=index)
+        logits = dec.output_logits(params, h, cfg)[:, 0]
+        nxt = sample_logits(logits, step_rng, scfg)
+        if scfg.eos_id is not None:
+            nxt = jnp.where(done, scfg.eos_id, nxt)
+            done = done | (nxt == scfg.eos_id)
+        return (nxt, caches, index + 1, done), nxt
+
+    done0 = jnp.zeros((b,), bool)
+    rngs = jax.random.split(rng, scfg.max_new_tokens)
+    (_, caches, _, _), toks = jax.lax.scan(
+        step, (first_tokens, caches, start_index, done0), rngs)
+    return jnp.swapaxes(toks, 0, 1), caches  # (B, T)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "max_len"))
+def _generate_text_jit(params, prompt, prompt_lengths, rng,
+                       cfg: MagnetoConfig, scfg: SamplingConfig, max_len: int):
+    b, lp = prompt.shape
+    caches = dec.init_cache(cfg, batch=b, max_len=max_len)
+    seg = jnp.where(jnp.arange(lp)[None, :] < prompt_lengths[:, None], 0, -1
+                    ).astype(jnp.int32)
+    x, _ = dec.forward_embedding(params, cfg, prompt)
+    last_logits, caches = _prefill(params, cfg, x, caches, prompt_lengths, seg)
+    rng, r0 = jax.random.split(rng)
+    first = sample_logits(last_logits, r0, scfg)
+    out, _ = _decode_scan(params, cfg, first, caches, prompt_lengths, scfg, rng)
+    return jnp.concatenate([first[:, None], out[:, :-1]], axis=1)
+
+
+def generate_text(params, cfg: MagnetoConfig, prompt: jax.Array,
+                  sampling: Optional[SamplingConfig] = None,
+                  prompt_lengths: Optional[jax.Array] = None,
+                  rng: Optional[jax.Array] = None) -> jax.Array:
+    """prompt (B, Lp) -> generated ids (B, max_new_tokens)."""
+    sampling = sampling or SamplingConfig()
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    b, lp = prompt.shape
+    if prompt_lengths is None:
+        prompt_lengths = jnp.full((b,), lp, jnp.int32)
+    max_len = lp + sampling.max_new_tokens
+    return _generate_text_jit(params, prompt, prompt_lengths, rng, cfg,
+                              sampling, max_len)
+
+
+# ---------------------------------------------------------------------------
+# multimodal generation (Kosmos)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kcfg", "scfg", "max_len"))
+def _generate_mm_jit(params, text_tokens, images, prompt_lengths, rng,
+                     kcfg: KosmosConfig, scfg: SamplingConfig, max_len: int):
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    dcfg = kcfg.decoder
+    b, lt = text_tokens.shape
+    k = kcfg.image_embed_len
+
+    img = Kosmos.encode_images(params, images, kcfg)
+    _, text_emb = dec.forward_embedding(params["decoder"], dcfg, text_tokens)
+    spliced = splice_embeddings(text_emb, img, None, index=kcfg.splice_index)
+    if kcfg.parity_double_scale:
+        x, _ = dec.forward_embedding(params["decoder"], dcfg,
+                                     token_embedding=spliced)
+    else:
+        pos = layers.positional_embedding(
+            params["decoder"]["pos"], spliced.shape[1],
+            padding_idx=dcfg.padding_idx, dtype=dcfg.dtype)
+        x = spliced + pos
+
+    lp = spliced.shape[1]
+    full_lengths = prompt_lengths + k  # image block counts as prompt
+    seg = jnp.where(jnp.arange(lp)[None, :] < full_lengths[:, None], 0, -1
+                    ).astype(jnp.int32)
+    caches = dec.init_cache(dcfg, batch=b, max_len=max_len)
+    last_logits, caches = _prefill(params["decoder"], dcfg, x, caches,
+                                   full_lengths, seg)
+    rng, r0 = jax.random.split(rng)
+    first = sample_logits(last_logits, r0, scfg)
+    out, _ = _decode_scan(params["decoder"], dcfg, first, caches,
+                          full_lengths, scfg, rng)
+    return jnp.concatenate([first[:, None], out[:, :-1]], axis=1)
+
+
+def generate_multimodal(params, kcfg: KosmosConfig, text_tokens: jax.Array,
+                        images: jax.Array,
+                        sampling: Optional[SamplingConfig] = None,
+                        prompt_lengths: Optional[jax.Array] = None,
+                        rng: Optional[jax.Array] = None) -> jax.Array:
+    """Kosmos generation: encode image(s) + text prompt once, then decode."""
+    sampling = sampling or SamplingConfig()
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    b, lt = text_tokens.shape
+    if prompt_lengths is None:
+        prompt_lengths = jnp.full((b,), lt, jnp.int32)
+    num_images = images.shape[1] if images.ndim == 5 else 1
+    max_len = lt + num_images * kcfg.image_embed_len + sampling.max_new_tokens
+    return _generate_mm_jit(params, text_tokens, images, prompt_lengths, rng,
+                            kcfg, sampling, max_len)

@@ -73,17 +73,26 @@ def _merge_heads(x):
 
 
 def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
-                   attn_dropout: float, rng, segment_q=None, segment_kv=None):
+                   attn_dropout: float, rng, segment_q=None, segment_kv=None,
+                   q_offset: Optional[jax.Array] = None):
     """(B,H,Lq,hd) attention in fp32 softmax. ``kv_len`` masks cache positions
-    >= kv_len (decode path); ``segment_*`` mask cross-segment attention."""
+    >= kv_len (decode path); ``segment_*`` mask cross-segment attention;
+    ``q_offset`` (B,) gives the absolute position of q[:, 0] for causal
+    alignment against a cache (prefill writes at an offset)."""
     lq, lk = q.shape[-2], k.shape[-2]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     neg = jnp.finfo(jnp.float32).min
     mask = None
-    if causal and lq > 1:
-        qi = jnp.arange(lq)[:, None] + (lk - lq)
-        kj = jnp.arange(lk)[None, :]
-        mask = (kj <= qi)[None, None]
+    if causal and (lq > 1 or q_offset is not None):
+        if q_offset is not None:
+            qi = (q_offset[:, None, None, None]
+                  + jnp.arange(lq)[None, None, :, None])  # (B,1,Lq,1)
+            kj = jnp.arange(lk)[None, None, None, :]
+            mask = kj <= qi
+        else:
+            qi = jnp.arange(lq)[:, None] + (lk - lq)
+            kj = jnp.arange(lk)[None, :]
+            mask = (kj <= qi)[None, None]
     if kv_len is not None:
         valid = jnp.arange(lk)[None, None, None, :] < kv_len[:, None, None, None]
         mask = valid if mask is None else mask & valid
@@ -165,6 +174,12 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                            downscale=False, center=0)
             k = apply_xpos(k, offset=idx, scale_base=xpos_scale_base,
                            downscale=True, center=0)
+        # zero out invalid (padded) chunk positions before the additive
+        # scatter — cache slots must stay exactly-once-written
+        if segment_ids is not None:
+            valid = (segment_ids >= 0).astype(k.dtype)[:, None, :, None]
+            k = k * valid
+            v = v * valid
         # scatter new k/v into the cache at position idx
         k_cache, v_cache = cache["k"], cache["v"]
         lmax = k_cache.shape[2]
@@ -175,7 +190,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
         new_cache = {"k": k_cache, "v": v_cache}
         kv_len = idx + l
         o = _jnp_attention(q, k_cache, v_cache, causal=causal, kv_len=kv_len,
-                           attn_dropout=0.0, rng=None)
+                           attn_dropout=0.0, rng=None, q_offset=idx)
         o = o.astype(x.dtype)
 
     o = _merge_heads(o)

@@ -1,0 +1,63 @@
+"""Device-mesh construction — the TPU replacement for the reference's NCCL
+process groups (``dist.init_process_group(backend="nccl")`` at
+/root/reference/train.py:709 + env-var rendezvous :699-707).
+
+Axes:
+- ``data``: batch data parallelism (reference: HF Accelerate DP,
+  /root/reference/train.py:491-496);
+- ``fsdp``: parameter/optimizer sharding (reference: torch FSDP ZeRO,
+  /root/reference/train.py:116-200, DeepSpeed ZeRO-3 config/zero3.json);
+  batches are also sharded over this axis (ZeRO semantics: every shard-holder
+  is also a data worker);
+- ``tensor``: tensor parallelism for attention heads / FFN (capability the
+  reference lacks, SURVEY.md §2.3 TP row — designed in from the start).
+
+On a TPU slice the mesh should be laid out so ``tensor`` (highest traffic)
+maps to the innermost ICI ring; ``jax.experimental.mesh_utils`` handles the
+physical layout. Across slices (DCN), only ``data`` should cross the slice
+boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host init (replaces MASTER_ADDR/PORT/RANK/WORLD_SIZE rendezvous,
+    /root/reference/train.py:699-709). No-op on single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, fsdp, tensor) mesh. ``data=-1`` absorbs remaining
+    devices. Uses mesh_utils for ICI-friendly physical layout when possible."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, \
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((data, fsdp, tensor),
+                                                  devices=devices)
+    except Exception:
+        dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(dev_array, AXES)

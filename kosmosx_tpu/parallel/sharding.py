@@ -1,0 +1,123 @@
+"""Sharding rules: param-tree paths -> PartitionSpec.
+
+This is the declarative TPU replacement for the reference's imperative FSDP
+wrapping (/root/reference/train.py:116-200) and DeepSpeed ZeRO-3 JSON
+(config/zero3.json): instead of wrapping modules, we attach a NamedSharding to
+every parameter leaf and let XLA GSPMD insert the all-gathers /
+reduce-scatters over ICI (SURVEY.md §2.3).
+
+Scheme (megatron-style for the decoder hot path):
+- q/k/v and fc1 weights (in, out): out dim (heads / ffn) over ``tensor``,
+  in dim over ``fsdp``;
+- out-proj and fc2 weights: in dim over ``tensor``, out dim over ``fsdp``
+  (the row-parallel halves — XLA inserts the psum);
+- biases shard with their matmul's output dim; LayerNorms replicate;
+- embedding / output-projection tables: vocab over ``fsdp``, model dim over
+  ``tensor``;
+- everything else 2D+: largest dim over ``fsdp`` (pure ZeRO);
+- scan-stacked layer params get a leading ``None`` axis.
+
+With ``fsdp=1, tensor=1`` every spec degenerates to full replication and the
+mesh is pure data parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _path_names(path) -> Tuple[str, ...]:
+    names = []
+    for p in path:
+        if hasattr(p, "key"):
+            names.append(str(p.key))
+        elif hasattr(p, "idx"):
+            names.append(int(p.idx))
+        else:
+            names.append(str(p))
+    return tuple(names)
+
+
+def _spec_for(names: Tuple, leaf) -> P:
+    strs = [n for n in names if isinstance(n, str)]
+    last = strs[-1] if strs else ""
+    parent = strs[-2] if len(strs) >= 2 else ""
+    nd = getattr(leaf, "ndim", 0)
+
+    # embeddings: (vocab/positions, model_dim)
+    if last == "table":
+        if "pos" in strs or "pos_embed" in strs or "media_pos_emb" in strs:
+            return P()  # small tables: replicate
+        return P("fsdp", "tensor")
+    if last in ("class_embedding", "latents", "media_pos_emb"):
+        return P()
+    # LayerNorm params
+    if last in ("scale", "bias") or "ln" in parent or parent.endswith("norm") \
+            or parent.startswith("norm"):
+        # ffn_ln normalizes the tensor-sharded ffn axis; keep aligned
+        if parent == "ffn_ln" and last == "scale":
+            return P("tensor")
+        if parent == "ffn_ln":
+            return P("tensor")
+        return P()
+    if last == "w" and nd == 2:
+        # row-parallel halves: attention out-proj, ffn fc2
+        if parent in ("out", "fc2", "to_out"):
+            return P("tensor", "fsdp")
+        # column-parallel: q/k/v, fc1, to_q/to_kv, generic projections
+        if parent in ("q", "k", "v", "fc1", "to_q", "to_kv", "out_proj",
+                      "image_proj", "patch_embed", "mlp"):
+            return P("fsdp", "tensor")
+        return P("fsdp", "tensor")
+    if last == "b" and nd == 1:
+        if parent in ("out", "fc2", "to_out"):
+            return P()  # output dim replicated after psum
+        return P("tensor")
+    if nd >= 2:
+        # generic ZeRO: shard the largest dim over fsdp
+        axis = int(np.argmax(leaf.shape))
+        spec = [None] * nd
+        spec[axis] = "fsdp"
+        return P(*spec)
+    return P()
+
+
+def param_specs(params) -> Any:
+    """Tree of PartitionSpec matching ``params``. Scan-stacked layer params
+    (path contains 'layers' but no list index) get a leading None axis."""
+
+    def rule(path, leaf):
+        names = _path_names(path)
+        strs = [n for n in names if isinstance(n, str)]
+        has_list_idx = any(isinstance(n, int) for n in names)
+        stacked = ("layers" in strs and not has_list_idx
+                   and getattr(leaf, "ndim", 0) >= 1)
+        base = _spec_for(names, leaf if not stacked else
+                         jax.ShapeDtypeStruct(leaf.shape[1:], leaf.dtype))
+        if stacked:
+            return P(None, *base)
+        return base
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def batch_spec(ndim: int = 2) -> P:
+    """Batches shard over both data axes (ZeRO: every fsdp shard-holder is a
+    data worker)."""
+    return P(("data", "fsdp"), *([None] * (ndim - 1)))
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    specs = specs if specs is not None else param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, batch_spec(getattr(x, "ndim", 1)))), batch)

@@ -1,0 +1,100 @@
+"""Training data pipelines.
+
+Replicates the reference's two loaders (/root/reference/train.py:416-483):
+(a) on-the-fly: tokenize documents, append EOS, concat-and-chunk into fixed
+``seq_len`` blocks (``group_texts``, :444-462); (b) pre-tokenized token
+streams. The reference trains a multimodal model on text-only data
+(SURVEY.md §2.6.4); we support text-only AND synthetic/real image+text
+batches so the Kosmos path actually trains.
+
+Everything yields plain numpy dicts; device placement/sharding happens in the
+Trainer (host→device transfer happens once, already batched).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def group_texts(token_streams: Iterable[Sequence[int]], seq_len: int,
+                eos_id: int = 2) -> Iterator[np.ndarray]:
+    """Concatenate tokenized docs (appending EOS) and emit ``seq_len`` blocks
+    (the reference's group_texts, /root/reference/train.py:444-462 — drop the
+    trailing remainder like the reference does)."""
+    buf: List[int] = []
+    for stream in token_streams:
+        buf.extend(int(t) for t in stream)
+        buf.append(eos_id)
+        while len(buf) >= seq_len:
+            yield np.asarray(buf[:seq_len], np.int32)
+            del buf[:seq_len]
+
+
+def packed_text_batches(token_streams: Iterable[Sequence[int]], *,
+                        batch_size: int, seq_len: int,
+                        eos_id: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+    """{"input_ids": (B, L), "attention_mask": ones} batches from packed
+    blocks."""
+    block_iter = group_texts(token_streams, seq_len, eos_id)
+    while True:
+        blocks = []
+        for _ in range(batch_size):
+            try:
+                blocks.append(next(block_iter))
+            except StopIteration:
+                return
+        ids = np.stack(blocks)
+        yield {"input_ids": ids,
+               "attention_mask": np.ones_like(ids, np.int32)}
+
+
+def text_file_stream(paths: Sequence[str], tokenizer) -> Iterator[List[int]]:
+    """Tokenize documents (one per line) from text files."""
+    for path in paths:
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if hasattr(tokenizer, "hf") and tokenizer.hf is not None:
+                    yield tokenizer.hf(line)["input_ids"]
+                elif hasattr(tokenizer, "byte"):
+                    yield tokenizer.byte.encode(line)
+                else:
+                    yield tokenizer.encode(line)
+
+
+def synthetic_text_batches(*, batch_size: int, seq_len: int, vocab_size: int,
+                           seed: int = 0,
+                           steps: Optional[int] = None
+                           ) -> Iterator[Dict[str, np.ndarray]]:
+    """Deterministic synthetic LM batches with learnable structure (each
+    token = f(previous), so loss can actually decrease)."""
+    rng = np.random.RandomState(seed)
+    i = 0
+    while steps is None or i < steps:
+        start = rng.randint(2, vocab_size, size=(batch_size, 1))
+        step = rng.randint(1, 7, size=(batch_size, 1))
+        seq = (start + step * np.arange(seq_len)[None, :]) % (vocab_size - 2) + 2
+        yield {"input_ids": seq.astype(np.int32),
+               "attention_mask": np.ones((batch_size, seq_len), np.int32)}
+        i += 1
+
+
+def synthetic_multimodal_batches(*, batch_size: int, seq_len: int,
+                                 vocab_size: int, image_size: int = 224,
+                                 seed: int = 0,
+                                 steps: Optional[int] = None
+                                 ) -> Iterator[Dict[str, np.ndarray]]:
+    """{text_tokens, images} batches for the Kosmos train path (the image
+    data pipeline the reference lacks, SURVEY.md §2.2 dataloaders row)."""
+    rng = np.random.RandomState(seed)
+    i = 0
+    while steps is None or i < steps:
+        toks = rng.randint(4, vocab_size, size=(batch_size, seq_len)).astype(np.int32)
+        toks[:, 0] = 0  # BOS
+        imgs = rng.rand(batch_size, 3, image_size, image_size).astype(np.float32)
+        yield {"text_tokens": toks, "images": imgs}
+        i += 1
