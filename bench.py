@@ -41,14 +41,9 @@ def _build(cfg):
     import jax
     import jax.numpy as jnp
 
-    from kosmosx_tpu.core.dtypes import cast_tree
     from kosmosx_tpu.models.kosmos import Kosmos
 
-    params = Kosmos.init(jax.random.PRNGKey(0), cfg)
-    params = cast_tree(params, cfg.dtype)
-    vocab = cfg.decoder.vocab_size
-
-    def chained(tokens, images):
+    def chained(params, tokens, images):
         def body(carry, _):
             toks, imgs = carry
             logits = Kosmos.apply(params, toks, imgs, cfg)
@@ -70,6 +65,10 @@ def _measure(cfg, label):
     import jax
     import jax.numpy as jnp
 
+    from kosmosx_tpu.core.dtypes import cast_tree
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    params = cast_tree(Kosmos.init(jax.random.PRNGKey(0), cfg), cfg.dtype)
     fn = _build(cfg)
     vocab = cfg.decoder.vocab_size
     key = jax.random.PRNGKey(1)
@@ -77,13 +76,13 @@ def _measure(cfg, label):
     imgs = jax.random.normal(jax.random.fold_in(key, 1),
                              (BATCH, 3, 224, 224), jnp.float32)
     # warmup/compile
-    float(fn(toks, imgs))
+    float(fn(params, toks, imgs))
     times = []
     for i in range(3):
         toks = jax.random.randint(jax.random.fold_in(key, 2 + i),
                                   (BATCH, TEXT_LEN), 4, vocab, jnp.int32)
         t0 = time.perf_counter()
-        float(fn(toks, imgs))
+        float(fn(params, toks, imgs))
         times.append(time.perf_counter() - t0)
     best = min(times)
     tokens_per_iter = BATCH * (TEXT_LEN + 64)
@@ -123,13 +122,30 @@ def main():
         )
         try:
             baseline_tps, _ = _measure(naive_cfg, "naive fp32 no-flash")
+            note = ("fp32, jnp attention, same model/shapes; "
+                    "the direct-translation baseline")
+        except Exception as e:  # e.g. OOM at fp32 on one chip
+            print(f"# fp32 baseline failed ({e}); trying bf16 no-flash",
+                  file=sys.stderr)
+            naive_cfg = dataclasses.replace(
+                naive_cfg,
+                decoder=dataclasses.replace(naive_cfg.decoder,
+                                            compute_dtype="bfloat16"),
+                vision=dataclasses.replace(naive_cfg.vision,
+                                           compute_dtype="bfloat16"),
+                resampler=dataclasses.replace(naive_cfg.resampler,
+                                              compute_dtype="bfloat16"))
+            try:
+                baseline_tps, _ = _measure(naive_cfg, "naive bf16 no-flash")
+                note = "bf16, jnp attention (fp32 baseline OOMed)"
+            except Exception as e2:
+                print(f"# naive baseline failed: {e2}", file=sys.stderr)
+                baseline_tps = None
+                note = None
+        if baseline_tps is not None:
             with open(BASELINE_FILE, "w") as f:
                 json.dump({"naive_tokens_per_sec": baseline_tps,
-                           "note": "fp32, jnp attention, same model/shapes; "
-                                   "the direct-translation baseline"}, f)
-        except Exception as e:  # pragma: no cover — e.g. OOM at fp32
-            print(f"# naive baseline failed: {e}", file=sys.stderr)
-            baseline_tps = None
+                           "note": note}, f)
 
     result = {
         "metric": "images+text tokens/sec/chip (24L/2048d multiway decoder, "

@@ -114,32 +114,46 @@ class KosmosTokenizer:
 
     IMAGE_TOKEN = "<image>"
     IMAGE_END_TOKEN = "</image>"
+    # the full multimodal tag set of the experimental zoo
+    # (/root/reference/experimental/model/video/kosmos_video.py:27-39 uses 6;
+    # allModalities/kosmos.py:148-162 adds <any></any> for 8)
+    MODALITY_TAGS = {
+        "image": ("<image>", "</image>"),
+        "audio": ("<audio>", "</audio>"),
+        "video": ("<video>", "</video>"),
+        "any": ("<any>", "</any>"),
+    }
 
     def __init__(self,
                  tokenizer_name: str = "EleutherAI/gpt-neox-20b",
                  model_max_length: int = 8192,
                  image_size: int = 224,
                  image_embed_len: int = 64,
+                 modalities: Sequence[str] = ("image",),
                  use_hf: bool = True):
         self.image_size = image_size
         self.image_embed_len = image_embed_len
+        self.modalities = tuple(modalities)
+        tags: List[str] = []
+        for m in self.modalities:
+            tags.extend(self.MODALITY_TAGS[m])
         self.hf = _try_hf_tokenizer(tokenizer_name, 0, model_max_length) if use_hf else None
         if self.hf is not None:
-            self.hf.add_tokens([self.IMAGE_TOKEN, self.IMAGE_END_TOKEN])
-            self.im_idx = self.hf.convert_tokens_to_ids(self.IMAGE_TOKEN)
-            self.im_end_idx = self.hf.convert_tokens_to_ids(self.IMAGE_END_TOKEN)
+            self.hf.add_tokens(tags)
+            self._tag_ids = {t: self.hf.convert_tokens_to_ids(t) for t in tags}
             self.pad_token_id = self.hf.pad_token_id or 1
             self.bos_token_id = getattr(self.hf, "bos_token_id", 0) or 0
             self.eos_token_id = getattr(self.hf, "eos_token_id", 2) or 2
             self.vocab_size = len(self.hf)
         else:
-            self.byte = ByteTokenizer([self.IMAGE_TOKEN, self.IMAGE_END_TOKEN])
-            self.im_idx = self.byte.convert_tokens_to_ids(self.IMAGE_TOKEN)
-            self.im_end_idx = self.byte.convert_tokens_to_ids(self.IMAGE_END_TOKEN)
+            self.byte = ByteTokenizer(tags)
+            self._tag_ids = {t: self.byte.convert_tokens_to_ids(t) for t in tags}
             self.pad_token_id = self.byte.pad_token_id
             self.bos_token_id = self.byte.bos_token_id
             self.eos_token_id = self.byte.eos_token_id
             self.vocab_size = self.byte.vocab_size
+        self.im_idx = self._tag_ids.get(self.IMAGE_TOKEN)
+        self.im_end_idx = self._tag_ids.get(self.IMAGE_END_TOKEN)
         self.model_max_length = model_max_length
 
     # -- text ---------------------------------------------------------------
@@ -164,14 +178,22 @@ class KosmosTokenizer:
         return out
 
     def tokenize_texts(self, texts: Union[str, Sequence[str]],
-                       max_length: Optional[int] = None):
-        """-> (spliced_ids (B, L+2), raw_ids (B, L)): ``[<image>, </image>]``
-        inserted after BOS (/root/reference/kosmosx/model.py:71-77)."""
+                       max_length: Optional[int] = None,
+                       modalities: Optional[Sequence[str]] = None):
+        """-> (spliced_ids (B, L+2*M), raw_ids (B, L)): one ``<tag></tag>``
+        pair per modality inserted after BOS
+        (/root/reference/kosmosx/model.py:71-77 for the image pair;
+        kosmos_video.py:27-39 style for multiple modalities)."""
         if isinstance(texts, str):
             texts = [texts]
         raw = self._encode_batch(texts, max_length)
         b = raw.shape[0]
-        tags = np.tile(np.array([[self.im_idx, self.im_end_idx]], np.int32), (b, 1))
+        modalities = modalities if modalities is not None else self.modalities
+        tag_row: List[int] = []
+        for m in modalities:
+            open_t, close_t = self.MODALITY_TAGS[m]
+            tag_row += [self._tag_ids[open_t], self._tag_ids[close_t]]
+        tags = np.tile(np.array([tag_row], np.int32), (b, 1))
         spliced = np.concatenate([raw[:, :1], tags, raw[:, 1:]], axis=1)
         return spliced, raw
 

@@ -1,0 +1,208 @@
+"""Any-modality pipeline: detector, processor registry, lazy embedders.
+
+Re-design of the reference's ``allModalities`` experiments
+(/root/reference/experimental/model/allModalities/kosmos.py, kosmos2.py,
+kosmos3.py): a ``ModalityDetector`` (file-extension / array-shape / user
+override, reference :47-75), a ``ModalityProcessor`` registry with caching
+(:98-118), per-modality embedders built lazily on first use (kosmos3's
+``KosmosEmbedder.load_model``, :296-324), and a ``KosmosAny`` model that
+splices every detected modality's embeddings into the decoder sequence
+(:357-368, fixing the undefined-variable bugs noted in SURVEY.md §2.5).
+
+The reference's ``TokenizerFactory`` queries the HF hub over the network
+(kosmos2.py:69-96); in a zero-egress TPU pod that is replaced by a static
+registry with user-registrable entries.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kosmosx_tpu.core import initializers as init
+from kosmosx_tpu.core.config import (AudioConfig, MagnetoConfig,
+                                     ResamplerConfig, VideoConfig,
+                                     VisionConfig)
+from kosmosx_tpu.nn import decoder as dec
+from kosmosx_tpu.nn import layers
+
+IMAGE_EXT = {".jpg", ".jpeg", ".png", ".bmp", ".gif", ".webp"}
+AUDIO_EXT = {".wav", ".flac", ".mp3", ".ogg"}
+VIDEO_EXT = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
+
+
+class ModalityDetector:
+    """Detect a sample's modality from a path hint, array shape, or user
+    override (reference ModalityDetector, allModalities/kosmos.py:47-75)."""
+
+    def detect(self, data: Any, *, path: Optional[str] = None,
+               user_modality: Optional[str] = None) -> str:
+        if user_modality:
+            return user_modality
+        if path:
+            ext = os.path.splitext(path)[1].lower()
+            if ext in IMAGE_EXT:
+                return "image"
+            if ext in AUDIO_EXT:
+                return "audio"
+            if ext in VIDEO_EXT:
+                return "video"
+            if ext in {".txt", ".md", ".json"}:
+                return "text"
+        if isinstance(data, str):
+            return "text"
+        arr = np.asarray(data) if not hasattr(data, "ndim") else data
+        if arr.ndim == 5:  # (B, 3, T, H, W)
+            return "video"
+        if arr.ndim == 4 and arr.shape[1] == 3:
+            return "image"
+        if arr.ndim <= 2:
+            return "audio"  # raw waveform (T,) or (B, T)
+        return "any"
+
+
+class ModalityProcessor:
+    """Per-modality preprocessing with a cache of processors (reference
+    ModalityProcessor, allModalities/kosmos.py:98-118)."""
+
+    def __init__(self):
+        self._cache: Dict[str, Callable] = {}
+
+    def register(self, modality: str, fn: Callable) -> None:
+        self._cache[modality] = fn
+
+    def process(self, modality: str, data: Any, *, image_size: int = 224):
+        if modality in self._cache:
+            return self._cache[modality](data)
+        if modality == "image":
+            from kosmosx_tpu.data.images import preprocess_images
+            return preprocess_images(jnp.asarray(data), image_size=image_size)
+        if modality in ("audio", "video", "any"):
+            return jnp.asarray(data, jnp.float32)
+        raise ValueError(f"no processor for modality {modality!r}")
+
+
+class KosmosAny:
+    """Any-modality Kosmos: encoders are built lazily per modality on first
+    use (reference kosmos3 lazy loading), each followed by a learned
+    projection to decoder dim; all embeddings splice after BOS."""
+
+    SPECIAL_TAGS = ("<image>", "</image>", "<audio>", "</audio>",
+                    "<video>", "</video>", "<any>", "</any>")
+
+    def __init__(self, decoder: Optional[MagnetoConfig] = None,
+                 seed: int = 0, image_embed_len: int = 64):
+        self.decoder = decoder or MagnetoConfig()
+        self.image_embed_len = image_embed_len
+        self._key = jax.random.PRNGKey(seed)
+        self._key, dk = jax.random.split(self._key)
+        self.params: Dict[str, Any] = {"decoder": dec.init_decoder(dk, self.decoder)}
+        self.detector = ModalityDetector()
+        self.processor = ModalityProcessor()
+        self._encoders: Dict[str, Tuple[Callable, Any]] = {}
+        self.configs = {
+            "image": (VisionConfig(), ResamplerConfig()),
+            "audio": AudioConfig(),
+            "video": VideoConfig(),
+        }
+
+    # -- lazy encoder construction (kosmos3 load_model equivalent) ----------
+    def _ensure_encoder(self, modality: str):
+        if modality in self._encoders:
+            return
+        d = self.decoder.embed_dim
+        self._key, k1, k2, k3 = jax.random.split(self._key, 4)
+        if modality == "image":
+            from kosmosx_tpu.nn.resampler import init_resampler, resampler
+            from kosmosx_tpu.nn.vision import clip_vit, init_clip_vit
+
+            vcfg, rcfg = self.configs["image"]
+            self.params["image_enc"] = {
+                "clip": init_clip_vit(k1, vcfg),
+                "resampler": init_resampler(k2, rcfg)}
+            self.params["image_proj"] = {"w": init.magneto_output_projection(
+                k3, (rcfg.dim, d))}
+
+            def encode(params, x):
+                feats = clip_vit(params["image_enc"]["clip"], x, vcfg)
+                lat = resampler(params["image_enc"]["resampler"], feats, rcfg)
+                return layers.linear(params["image_proj"], lat[:, 0],
+                                     dtype=self.decoder.dtype)
+
+        elif modality == "audio":
+            from kosmosx_tpu.nn.audio import audio_encoder, init_audio_encoder
+
+            acfg = self.configs["audio"]
+            self.params["audio_enc"] = init_audio_encoder(k1, acfg)
+            self.params["audio_proj"] = {"w": init.magneto_output_projection(
+                k2, (acfg.hidden_dim, d))}
+
+            def encode(params, x):
+                h = audio_encoder(params["audio_enc"], x, acfg)
+                h = jnp.mean(h, axis=1, keepdims=True)
+                return layers.linear(params["audio_proj"], h,
+                                     dtype=self.decoder.dtype)
+
+        elif modality == "video":
+            from kosmosx_tpu.nn.video import init_video_encoder, video_encoder
+
+            vcfg = self.configs["video"]
+            self.params["video_enc"] = init_video_encoder(k1, vcfg)
+            self.params["video_proj"] = {"w": init.magneto_output_projection(
+                k2, (vcfg.hidden_dim, d))}
+
+            def encode(params, x):
+                h = video_encoder(params["video_enc"], x, vcfg)
+                return layers.linear(params["video_proj"], h[:, None],
+                                     dtype=self.decoder.dtype)
+
+        else:  # "any": generic per-sample flat projection (reference <any>)
+            def encode(params, x):  # lazy-init needs the input dim
+                flat = x.reshape(x.shape[0], -1)
+                key = f"any_proj_{flat.shape[-1]}"
+                if key not in self.params:
+                    self._key, kk = jax.random.split(self._key)
+                    self.params[key] = {"w": init.magneto_output_projection(
+                        kk, (flat.shape[-1], d))}
+                return layers.linear(self.params[key], flat[:, None],
+                                     dtype=self.decoder.dtype)
+
+        self._encoders[modality] = encode
+
+    # -- forward -------------------------------------------------------------
+    def forward(self, text_tokens, media: Sequence[Tuple[str, Any]] = (),
+                rng=None):
+        """media: sequence of (modality-or-None, data) — modality inferred by
+        the detector when None. Returns logits over the spliced sequence."""
+        dcfg = self.decoder
+        text_tokens = jnp.asarray(text_tokens)
+        blocks = []
+        for modality, data in media:
+            modality = modality or self.detector.detect(data)
+            processed = self.processor.process(
+                modality, data, image_size=self.configs["image"][0].image_size)
+            self._ensure_encoder(modality)
+            blocks.append(self._encoders[modality](self.params, processed))
+
+        _, text_emb = dec.forward_embedding(self.params["decoder"], dcfg,
+                                            text_tokens)
+        if blocks:
+            mediacat = jnp.concatenate(blocks, axis=1).astype(text_emb.dtype)
+            spliced = jnp.concatenate(
+                [text_emb[:, :1], mediacat, text_emb[:, 1:]], axis=1)
+        else:
+            spliced = text_emb
+        x, _ = dec.forward_embedding(self.params["decoder"], dcfg,
+                                     token_embedding=spliced, rng=rng)
+        h, _ = dec.run_layers(self.params["decoder"], x, dcfg, rng=rng)
+        return dec.output_logits(self.params["decoder"], h, dcfg)
+
+    __call__ = forward
+
+    @property
+    def num_params(self) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(self.params))

@@ -1,0 +1,101 @@
+"""Audio encoder (wav2vec2/data2vec-style): conv feature extractor +
+transformer, JAX functional params.
+
+Capability parity with the reference's experimental audio towers
+(`Wav2Vec2Model` at /root/reference/experimental/model/allModalities/audio/
+kosmos_audio.py and `Data2VecForCTC` at kosmos_audio_data2vec.py /
+/root/reference/experimental/model/video/kosmos_video.py:126-128): raw
+waveform (B, T) -> frame features -> contextual embeddings (B, T', hidden),
+which the composition layer mean-pools and projects to decoder dim.
+
+TPU-first: the conv feature extractor is expressed as framed reshape +
+matmul stacks (stride == kernel for the framing layers), keeping everything
+on the MXU; the context encoder reuses the framework's pre-LN transformer
+pieces.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from kosmosx_tpu.core import initializers as init
+from kosmosx_tpu.core.config import AudioConfig
+from kosmosx_tpu.nn import layers
+
+
+def init_audio_encoder(key, cfg: AudioConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, 4 + cfg.layers)
+    convs = []
+    in_ch = 1
+    # framed-matmul "convs": each stage folds `stride` samples into channels
+    strides = (8, 4, 2)[:len(cfg.conv_widths)]
+    for i, (width, stride) in enumerate(zip(cfg.conv_widths, strides)):
+        convs.append({
+            "w": init.xavier_uniform(keys[i], (in_ch * stride, width)),
+            "b": init.zeros((width,)),
+            "stride": stride,
+        })
+        in_ch = width
+    d = cfg.hidden_dim
+
+    def lin(k_, i, o):
+        return {"w": init.xavier_uniform(k_, (i, o)), "b": init.zeros((o,))}
+
+    enc_layers = []
+    for i in range(cfg.layers):
+        k_ = jax.random.split(keys[4 + i], 6)
+        enc_layers.append({
+            "ln1": layers.init_layer_norm(d),
+            "attn": {"q": lin(k_[0], d, d), "k": lin(k_[1], d, d),
+                     "v": lin(k_[2], d, d), "out": lin(k_[3], d, d)},
+            "ln2": layers.init_layer_norm(d),
+            "mlp": {"fc1": lin(k_[4], d, cfg.mlp_dim),
+                    "fc2": lin(k_[5], cfg.mlp_dim, d)},
+        })
+    return {
+        "convs": convs,
+        "in_proj": lin(keys[3], in_ch, d),
+        "ln": layers.init_layer_norm(d),
+        "layers": enc_layers,
+    }
+
+
+def audio_encoder(params, waveform, cfg: AudioConfig) -> jax.Array:
+    """waveform (B, T) float -> (B, T', hidden_dim)."""
+    dtype = cfg.dtype
+    x = waveform.astype(dtype)[..., None]  # (B, T, 1)
+    for conv in params["convs"]:
+        stride = conv["stride"]
+        b, t, c = x.shape
+        t = (t // stride) * stride
+        x = x[:, :t].reshape(b, t // stride, c * stride)
+        x = x @ conv["w"].astype(dtype) + conv["b"].astype(dtype)
+        x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(dtype)
+    x = layers.linear(params["in_proj"], x, dtype=dtype)
+    x = layers.layer_norm(params["ln"], x)
+
+    heads = cfg.heads
+    hd = cfg.hidden_dim // heads
+    for lp in params["layers"]:
+        h = layers.layer_norm(lp["ln1"], x)
+        q = layers.linear(lp["attn"]["q"], h, dtype=dtype) * (hd ** -0.5)
+        k = layers.linear(lp["attn"]["k"], h, dtype=dtype)
+        v = layers.linear(lp["attn"]["v"], h, dtype=dtype)
+        b, l, d = h.shape
+        q = q.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, l, d)
+        x = x + layers.linear(lp["attn"]["out"], o, dtype=dtype)
+        h = layers.layer_norm(lp["ln2"], x)
+        h = layers.linear(lp["mlp"]["fc1"], h, dtype=dtype)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dtype)
+        x = x + layers.linear(lp["mlp"]["fc2"], h, dtype=dtype)
+    return x

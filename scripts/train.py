@@ -1,0 +1,150 @@
+"""Training CLI — the working replacement for ``accelerate launch train.py``.
+
+The reference has no CLI flags at all (static CFG class,
+/root/reference/train.py:53-69 — SURVEY.md §5 config row). Every CFG field is
+a flag here, plus mesh topology and model selection.
+
+Examples:
+  # text-only decoder, synthetic data, 8-way virtual mesh smoke run
+  python scripts/train.py --model language --synthetic --steps 50 \
+      --layers 2 --dim 64 --ffn-dim 128 --heads 4 --seq-len 64 \
+      --data 2 --fsdp 2 --tensor 2
+
+  # multimodal Kosmos on real TPU devices
+  python scripts/train.py --model kosmos --synthetic --steps 1000 \
+      --batch-size 8 --seq-len 2048 --optimizer lion --lr 1e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    # model
+    p.add_argument("--model", choices=["language", "kosmos"], default="language")
+    p.add_argument("--vocab-size", type=int, default=32002)
+    p.add_argument("--dim", type=int, default=2048)
+    p.add_argument("--layers", type=int, default=24)
+    p.add_argument("--ffn-dim", type=int, default=8192)
+    p.add_argument("--heads", type=int, default=32)
+    p.add_argument("--max-positions", type=int, default=2048)
+    p.add_argument("--no-multiway", action="store_true")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--no-flash", action="store_true")
+    p.add_argument("--scan-layers", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="activation checkpointing (ref train.py:84-110)")
+    # training (reference CFG, train.py:53-69)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--seq-len", type=int, default=8192)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=0.1)
+    p.add_argument("--optimizer", default="lion",
+                   choices=["lion", "adamw", "stable_adamw"])
+    p.add_argument("--schedule", default="cosine",
+                   choices=["cosine", "linear", "constant"])
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--warmup-steps", type=int, default=None)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--output-dir", default="checkpoints/")
+    p.add_argument("--resume", action="store_true")
+    # mesh
+    p.add_argument("--data", type=int, default=-1)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tensor", type=int, default=1)
+    # data
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic batches (no dataset needed)")
+    p.add_argument("--text-files", nargs="*", default=None,
+                   help="one-doc-per-line text files")
+    p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--wandb", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
+                                         ResamplerConfig, VisionConfig)
+    from kosmosx_tpu.train.data import (packed_text_batches,
+                                        synthetic_multimodal_batches,
+                                        synthetic_text_batches,
+                                        text_file_stream)
+    from kosmosx_tpu.train.metrics import MetricsLogger
+    from kosmosx_tpu.train.trainer import (TrainConfig, Trainer,
+                                           kosmos_loss_fn, lm_loss_fn)
+
+    dcfg = MagnetoConfig(
+        vocab_size=args.vocab_size, embed_dim=args.dim, layers=args.layers,
+        ffn_dim=args.ffn_dim, heads=args.heads,
+        max_positions=args.max_positions, multiway=not args.no_multiway,
+        compute_dtype=args.dtype, use_flash_attention=not args.no_flash,
+        scan_layers=args.scan_layers, remat=args.remat)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, grad_accum=args.grad_accum,
+        seq_len=args.seq_len, seed=args.seed, learning_rate=args.lr,
+        weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        optimizer=args.optimizer, schedule=args.schedule,
+        total_steps=args.steps, warmup_steps=args.warmup_steps,
+        checkpoint_every=args.checkpoint_every, log_every=args.log_every,
+        output_dir=args.output_dir, resume=args.resume,
+        data=args.data, fsdp=args.fsdp, tensor=args.tensor)
+
+    if args.model == "language":
+        from kosmosx_tpu.nn import decoder as dec
+
+        init_fn = lambda key: dec.init_decoder(key, dcfg)
+        loss_fn = lm_loss_fn(dcfg)
+        if args.synthetic:
+            batches = synthetic_text_batches(
+                batch_size=args.batch_size, seq_len=args.seq_len,
+                vocab_size=args.vocab_size, steps=args.steps)
+        elif args.text_files:
+            from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+
+            tok = KosmosTokenizer()
+            batches = packed_text_batches(
+                text_file_stream(args.text_files, tok),
+                batch_size=args.batch_size, seq_len=args.seq_len,
+                eos_id=tok.eos_token_id)
+        else:
+            raise SystemExit("need --synthetic or --text-files")
+    else:
+        from kosmosx_tpu.models.kosmos import Kosmos
+
+        kcfg = KosmosConfig(decoder=dcfg,
+                            vision=VisionConfig(compute_dtype=args.dtype),
+                            resampler=ResamplerConfig(compute_dtype=args.dtype))
+        init_fn = lambda key: Kosmos.init(key, kcfg)
+        loss_fn = kosmos_loss_fn(kcfg)
+        if not args.synthetic:
+            raise SystemExit("kosmos training currently needs --synthetic "
+                             "(no image dataset in this environment)")
+        batches = synthetic_multimodal_batches(
+            batch_size=args.batch_size, seq_len=args.seq_len,
+            vocab_size=args.vocab_size, steps=args.steps)
+
+    trainer = Trainer(init_fn=init_fn, loss_fn=loss_fn, cfg=tcfg)
+    log_fn = MetricsLogger(jsonl_path=args.metrics_jsonl,
+                           use_wandb=args.wandb,
+                           config=vars(args)) if (args.metrics_jsonl or
+                                                  args.wandb) else None
+    state, metrics = trainer.run(batches, steps=args.steps, log_fn=log_fn)
+    print("final:", {k: float(v) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Modality zoo: audio/video encoders, KosmosConditional gating, KosmosAny
+detection + lazy embedders, multimodal tokenizer tags (SURVEY.md §2.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kosmosx_tpu.core.config import (AudioConfig, MagnetoConfig,
+                                     ResamplerConfig, VideoConfig,
+                                     VisionConfig)
+from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+from kosmosx_tpu.models.any_modality import KosmosAny, ModalityDetector
+from kosmosx_tpu.models.conditional import KosmosConditional
+from kosmosx_tpu.nn.audio import audio_encoder, init_audio_encoder
+from kosmosx_tpu.nn.video import init_video_encoder, video_encoder
+
+DEC = MagnetoConfig(vocab_size=512, embed_dim=64, ffn_dim=128, layers=2,
+                    heads=4, max_positions=256, use_flash_attention=False,
+                    multiway=False, dropout=0.0)
+AUD = AudioConfig(hidden_dim=32, layers=1, heads=4, mlp_dim=64,
+                  conv_widths=(16, 16))
+VID = VideoConfig(hidden_dim=64, frame_size=32)
+VIS = VisionConfig(image_size=28, patch_size=14, hidden_dim=32, layers=1,
+                   heads=2, mlp_dim=64, use_flash_attention=False)
+RES = ResamplerConfig(dim=32, depth=1, dim_head=8, heads=4, num_latents=4,
+                      num_media_embeds=4)
+
+
+def test_audio_encoder_shapes():
+    p = init_audio_encoder(jax.random.PRNGKey(0), AUD)
+    wav = jax.random.normal(jax.random.PRNGKey(1), (2, 1024))
+    out = audio_encoder(p, wav, AUD)
+    assert out.shape == (2, 1024 // (8 * 4), 32)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_video_encoder_shapes():
+    p = init_video_encoder(jax.random.PRNGKey(0), VID)
+    clip = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4, 32, 32))
+    out = video_encoder(p, clip, VID)
+    assert out.shape == (2, 64)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_conditional_builds_only_requested_towers():
+    m = KosmosConditional(modalities=("text", "audio"), decoder=DEC,
+                          audio=AUD, seed=0)
+    assert "audio_enc" in m.params and "clip" not in m.params
+    with pytest.raises(AssertionError):
+        m(jnp.ones((1, 8), jnp.int32), images=jnp.zeros((1, 3, 28, 28)))
+
+
+def test_conditional_forward_all_modalities():
+    m = KosmosConditional(modalities=("text", "image", "audio", "video"),
+                          decoder=DEC, vision=VIS, resampler=RES, audio=AUD,
+                          video=VID, seed=0)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 4, 512)
+    out = m(toks,
+            images=jnp.zeros((2, 3, 28, 28)),
+            audios=jax.random.normal(jax.random.PRNGKey(2), (2, 512)),
+            videos=jax.random.normal(jax.random.PRNGKey(3), (2, 3, 4, 32, 32)))
+    # 4 latents (image) + 1 audio + 1 video spliced after BOS
+    assert out.shape == (2, 10 + 4 + 1 + 1, 512)
+    # text-only forward also works on the same model
+    out_text = m(toks)
+    assert out_text.shape == (2, 10, 512)
+
+
+def test_modality_detector():
+    det = ModalityDetector()
+    assert det.detect("hello") == "text"
+    assert det.detect(np.zeros((1, 3, 32, 32))) == "image"
+    assert det.detect(np.zeros((1, 3, 4, 32, 32))) == "video"
+    assert det.detect(np.zeros((1, 1000))) == "audio"
+    assert det.detect(None, path="x/cat.png") == "image"
+    assert det.detect(None, path="a.wav") == "audio"
+    assert det.detect(None, path="v.mp4") == "video"
+    assert det.detect(np.zeros((1, 3, 32, 32)), user_modality="any") == "any"
+
+
+def test_kosmos_any_lazy_encoders():
+    m = KosmosAny(decoder=DEC, seed=0)
+    m.configs["image"] = (VIS, RES)
+    m.configs["audio"] = AUD
+    base_params = m.num_params
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 4, 512)
+    out = m(toks)  # text-only: no encoders built
+    assert out.shape == (1, 8, 512)
+    assert m.num_params == base_params
+
+    out = m(toks, media=[(None, np.zeros((1, 3, 28, 28), np.float32))])
+    assert out.shape == (1, 8 + 4, 512)
+    assert "image_enc" in m.params and m.num_params > base_params
+    assert "audio_enc" not in m.params
+
+    out = m(toks, media=[(None, np.zeros((1, 3, 28, 28), np.float32)),
+                         ("audio", np.zeros((1, 512), np.float32))])
+    assert out.shape == (1, 8 + 4 + 1, 512)
+    assert "audio_enc" in m.params
+
+
+def test_tokenizer_multimodal_tags():
+    tok = KosmosTokenizer(use_hf=False,
+                          modalities=("image", "audio", "video", "any"))
+    spliced, raw = tok.tokenize_texts(["hi"], modalities=("image", "audio"))
+    assert spliced.shape[1] == raw.shape[1] + 4  # 2 tag pairs
+    assert spliced[0, 0] == tok.bos_token_id
+    assert spliced[0, 1] == tok._tag_ids["<image>"]
+    assert spliced[0, 2] == tok._tag_ids["</image>"]
+    assert spliced[0, 3] == tok._tag_ids["<audio>"]
+    assert spliced[0, 4] == tok._tag_ids["</audio>"]
+
+
+def test_tokenizer_sample_assembly_and_roundtrip():
+    tok = KosmosTokenizer(use_hf=False, image_embed_len=8)
+    sample = {"target_text": "a cat",
+              "image": np.zeros((1, 3, 64, 64), np.uint8)}
+    out = tok.tokenize(sample)
+    b, l = out["text_tokens"].shape
+    assert out["attention_mask"].shape == (b, l + 8)
+    assert out["images"].shape == (1, 3, 224, 224)
+    assert tok.decode(out["labels"][0]) == "a cat"
