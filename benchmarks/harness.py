@@ -3,6 +3,7 @@ taxonomy (/root/reference/tests/test_benchmarking.py, which is not runnable:
 SURVEY.md §2.6.7):
 
 - SpeedMetrics: forward / backward / end-to-end latency  (ref :64-95)
+- ScalabilityMetrics: instances/sec over a dataloader     (ref :98-109)
 - SequenceMetrics: seq-len scaling 1k..8k                 (ref :148-160)
 - ConsistencyMetrics: run-to-run determinism              (ref :112-133)
 - MemoryMetrics: device memory of params + transient      (ref :136-145)
@@ -116,6 +117,39 @@ class SequenceMetrics:
             out[length] = {"latency_s": lat,
                            "tokens_per_sec": batch * length / lat}
         return out
+
+
+class ScalabilityMetrics:
+    """End-to-end throughput (instances/sec) over a data stream, including
+    host->device transfer — the TPU analog of the reference's DataLoader
+    throughput metric (/root/reference/tests/test_benchmarking.py:98-109,
+    which iterates ``torchvision FakeData`` through the model)."""
+
+    def __init__(self, cfg, batch: int = 8, seq_len: int = 512):
+        self.cfg, self.batch, self.seq_len = cfg, batch, seq_len
+
+    def run(self, num_batches: int = 8) -> Dict[str, float]:
+        from kosmosx_tpu.nn import decoder as dec
+        from kosmosx_tpu.train.data import synthetic_text_batches
+
+        params = dec.init_decoder(jax.random.PRNGKey(0), self.cfg)
+        fwd = jax.jit(lambda p, t: jnp.sum(
+            dec.decoder_forward(p, t, self.cfg)[:, -1].astype(jnp.float32)))
+        stream = synthetic_text_batches(batch_size=self.batch,
+                                        seq_len=self.seq_len,
+                                        vocab_size=self.cfg.vocab_size,
+                                        steps=num_batches + 1)
+        first = next(stream)
+        float(fwd(params, first["input_ids"]))  # compile outside the timing
+        t0 = time.perf_counter()
+        n = 0
+        for batch in stream:
+            float(fwd(params, batch["input_ids"]))  # host fetch = sync point
+            n += self.batch
+        dt = time.perf_counter() - t0
+        return {"instances_per_sec": n / dt,
+                "tokens_per_sec": n * self.seq_len / dt,
+                "seconds": dt}
 
 
 class ConsistencyMetrics:
