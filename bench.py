@@ -5,10 +5,12 @@ Prints ONE JSON line:
 
 Methodology (axon-tunnel-safe, see .claude/skills/verify/SKILL.md):
 ``block_until_ready`` does not block and identical executions are cached, so
-we chain ITERS forward passes inside one jit via ``lax.scan`` with a data
-dependency (next iteration's tokens/images derive from this iteration's
-logits), reduce to a scalar, and time the host fetch. Inputs are perturbed
-between timed calls.
+every timed call (a) gets DISTINCT token inputs pre-staged on device, and
+(b) is synced by fetching a scalar reduction of the logits to host with
+``float(...)`` — a real value fetch, which does block. Per-call tunnel RTT
+is included in the measurement (conservative). An outer ``lax.scan`` chain
+was tried first but the 2.9B-param flagship + 8-deep scan exceeds single-chip
+HBM and multiplies remote-compile time, so sequential timed calls it is.
 
 Workload = BASELINE.json config 4: batched bf16, one image + text at decoder
 sequence length 2048 (1984 text tokens + 64 spliced image embeddings), on the
@@ -34,7 +36,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 BATCH = 4
 TEXT_LEN = 1984          # + 64 image embeddings = 2048 decoder positions
-ITERS = 8
+TIMED_CALLS = 6
 
 
 def _build(cfg):
@@ -43,53 +45,53 @@ def _build(cfg):
 
     from kosmosx_tpu.models.kosmos import Kosmos
 
-    def chained(params, tokens, images):
-        def body(carry, _):
-            toks, imgs = carry
-            logits = Kosmos.apply(params, toks, imgs, cfg)
-            # data dependency: next inputs derive from these logits, so XLA
-            # cannot hoist or elide iterations
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            toks = jnp.roll(toks, 1, axis=1).at[:, 0].set(nxt)
-            imgs = imgs * (1.0 + 1e-9 * nxt[0].astype(imgs.dtype))
-            return (toks, imgs), logits[0, 0, 0]
+    def probe(params, tokens, images):
+        logits = Kosmos.apply(params, tokens, images, cfg)
+        # scalar reduction: the float() fetch of this value on host is the
+        # only reliable sync point on the axon tunnel
+        return jnp.sum(logits[:, -1, :].astype(jnp.float32))
 
-        (toks, imgs), probe = jax.lax.scan(body, (tokens, images), None,
-                                           length=ITERS)
-        return jnp.sum(probe) + jnp.sum(toks[:, 0])
-
-    return jax.jit(chained)
+    return jax.jit(probe)
 
 
 def _measure(cfg, label):
     import jax
     import jax.numpy as jnp
 
-    from kosmosx_tpu.core.dtypes import cast_tree
+    from kosmosx_tpu.core.dtypes import init_casted
     from kosmosx_tpu.models.kosmos import Kosmos
 
-    params = cast_tree(Kosmos.init(jax.random.PRNGKey(0), cfg), cfg.dtype)
+    # fused init+cast: materializing fp32 then casting would exceed HBM
+    params = init_casted(lambda k: Kosmos.init(k, cfg),
+                         jax.random.PRNGKey(0), cfg.dtype)
     fn = _build(cfg)
     vocab = cfg.decoder.vocab_size
     key = jax.random.PRNGKey(1)
-    toks = jax.random.randint(key, (BATCH, TEXT_LEN), 4, vocab, jnp.int32)
-    imgs = jax.random.normal(jax.random.fold_in(key, 1),
+    # pre-stage distinct token inputs on device (distinct values per call so
+    # the tunnel's identical-execution cache can never serve a timed call)
+    tok_batches = [
+        jax.random.randint(jax.random.fold_in(key, i), (BATCH, TEXT_LEN),
+                           4, vocab, jnp.int32)
+        for i in range(TIMED_CALLS + 1)
+    ]
+    imgs = jax.random.normal(jax.random.fold_in(key, 999),
                              (BATCH, 3, 224, 224), jnp.float32)
+    for t in tok_batches:
+        float(jnp.sum(t))  # force resident before timing
     # warmup/compile
-    float(fn(params, toks, imgs))
+    float(fn(params, tok_batches[-1], imgs))
     times = []
-    for i in range(3):
-        toks = jax.random.randint(jax.random.fold_in(key, 2 + i),
-                                  (BATCH, TEXT_LEN), 4, vocab, jnp.int32)
+    for i in range(TIMED_CALLS):
         t0 = time.perf_counter()
-        float(fn(params, toks, imgs))
+        float(fn(params, tok_batches[i], imgs))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    tokens_per_iter = BATCH * (TEXT_LEN + 64)
-    tps = tokens_per_iter * ITERS / best
-    prefill_ms = best / ITERS * 1000.0
+    tokens_per_call = BATCH * (TEXT_LEN + 64)
+    tps = tokens_per_call / best
+    prefill_ms = best * 1000.0
     print(f"# {label}: {tps:,.0f} tok/s  ({prefill_ms:.1f} ms / "
-          f"{tokens_per_iter}-token prefill)", file=sys.stderr)
+          f"{tokens_per_call}-token prefill; times={['%.3f' % t for t in times]})",
+          file=sys.stderr)
     return tps, prefill_ms
 
 
@@ -97,10 +99,12 @@ def main():
     from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
                                          ResamplerConfig, VisionConfig)
 
+    # max_positions=8194: seq-8192-capable table per the reference's training
+    # intent (its 2048-entry table would NaN past ~2046 tokens, SURVEY §2.6.3)
     main_cfg = KosmosConfig(
         decoder=MagnetoConfig(compute_dtype="bfloat16", scan_layers=True,
                               dropout=0.0, attention_dropout=0.0,
-                              use_flash_attention=True,
+                              use_flash_attention=True, max_positions=8194,
                               flash_block_q=512, flash_block_kv=512),
         vision=VisionConfig(compute_dtype="bfloat16"),
         resampler=ResamplerConfig(compute_dtype="bfloat16"),
@@ -115,7 +119,8 @@ def main():
         naive_cfg = KosmosConfig(
             decoder=MagnetoConfig(compute_dtype="float32", scan_layers=True,
                                   dropout=0.0, attention_dropout=0.0,
-                                  use_flash_attention=False),
+                                  use_flash_attention=False,
+                                  max_positions=8194),
             vision=VisionConfig(compute_dtype="float32",
                                 use_flash_attention=False),
             resampler=ResamplerConfig(compute_dtype="float32"),

@@ -24,6 +24,17 @@ def cast_tree(tree, dtype):
     return jax.tree_util.tree_map(_cast, tree)
 
 
+def init_casted(init_fn, key, dtype):
+    """Run ``init_fn(key)`` and cast the result to ``dtype`` inside ONE jit.
+
+    Materializing the full fp32 tree and then casting doubles peak HBM
+    (the 2.9B-param flagship needs 10.7 GiB fp32 + 5.4 GiB bf16 > the
+    16 GiB of a v5e chip). Fused under jit, XLA frees each fp32 leaf right
+    after its cast, so peak is the bf16 tree + one fp32 leaf (~1.5 GiB).
+    """
+    return jax.jit(lambda k: cast_tree(init_fn(k), dtype))(key)
+
+
 def cast(x, dtype):
     if dtype is None:
         return x

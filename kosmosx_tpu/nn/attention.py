@@ -180,13 +180,18 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
             valid = (segment_ids >= 0).astype(k.dtype)[:, None, :, None]
             k = k * valid
             v = v * valid
-        # scatter new k/v into the cache at position idx
+        # scatter new k/v into the cache at position idx. An indexed .set
+        # compiles to an in-place scatter on the donated loop carry — O(L)
+        # HBM writes per step, vs the O(Lmax) full-cache rewrite of a
+        # one-hot-matmul update. Slots at/after a row's write position are
+        # invisible until written (kv_len mask below), so overwrite is safe.
         k_cache, v_cache = cache["k"], cache["v"]
-        lmax = k_cache.shape[2]
         pos = idx[:, None] + jnp.arange(l)[None, :]           # (B, L)
-        onehot = jax.nn.one_hot(pos, lmax, dtype=k.dtype)     # (B, L, Lmax)
-        k_cache = k_cache + jnp.einsum("bql,bhqd->bhld", onehot, k)
-        v_cache = v_cache + jnp.einsum("bql,bhqd->bhld", onehot, v)
+        b_idx = jnp.arange(b)[:, None]                        # (B, 1)
+        # advanced indices (B,L) around the H slice put (B, L) in front:
+        # value layout (B, L, H, hd)
+        k_cache = k_cache.at[b_idx, :, pos, :].set(jnp.swapaxes(k, 1, 2))
+        v_cache = v_cache.at[b_idx, :, pos, :].set(jnp.swapaxes(v, 1, 2))
         new_cache = {"k": k_cache, "v": v_cache}
         kv_len = idx + l
         o = _jnp_attention(q, k_cache, v_cache, causal=causal, kv_len=kv_len,

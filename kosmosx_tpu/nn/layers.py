@@ -105,6 +105,17 @@ def positional_embedding(params, seq_len: int, *, padding_idx: int = 1, offset=0
     it at /root/reference/kosmosx/model.py:164). ``offset`` supports
     incremental decoding (the cache length so far).
     """
+    rows = params["table"].shape[0]
+    if isinstance(offset, int):
+        last = padding_idx + 1 + offset + seq_len - 1
+        if last >= rows:
+            # the reference silently indexes out of range past ~2046 tokens
+            # (SURVEY.md §2.6.3) and JAX would fill NaN; fail loudly instead
+            raise ValueError(
+                f"sequence length {seq_len} (+offset {offset}) needs position "
+                f"index {last} but the learned table has {rows} rows (usable "
+                f"length = rows - padding_idx - 1 = {rows - padding_idx - 1}); "
+                f"raise max_positions")
     positions = padding_idx + 1 + offset + jnp.arange(seq_len, dtype=jnp.int32)
     return embedding(params, positions, dtype=dtype)
 

@@ -132,3 +132,17 @@ def test_padding_segment_ids_mask_attention():
     out_short = dec.decoder_forward(p, toks_padded[:, :6], CFG)
     np.testing.assert_allclose(np.asarray(out_masked[:, :6]),
                                np.asarray(out_short), atol=1e-4, rtol=1e-4)
+
+
+def test_position_overflow_raises():
+    """Sequences beyond the learned position table raise at trace time
+    instead of silently gathering NaN (reference defect SURVEY.md §2.6.3:
+    a 2048-entry table with seq-8192 training config)."""
+    p = _params()
+    max_len = CFG.max_positions - CFG.padding_idx - 1  # usable length
+    toks_ok = jnp.zeros((1, max_len), jnp.int32)
+    logits = dec.decoder_forward(p, toks_ok, CFG)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    toks_bad = jnp.zeros((1, max_len + 1), jnp.int32)
+    with pytest.raises(ValueError, match="max_positions"):
+        dec.decoder_forward(p, toks_bad, CFG)
