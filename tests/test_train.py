@@ -138,3 +138,40 @@ def test_sharded_forward_matches_single_device(devices):
         out = jax.jit(lambda p, t: dec.decoder_forward(p, t, CFG))(sharded, toks)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_trainer_resume_matches_continuous(devices, tmp_path):
+    """Checkpoint at step 4, resume in a fresh Trainer, and land on exactly
+    the same params as an uninterrupted 6-step run (the reference's
+    save_state + skip_first_batches contract, train.py:618-668)."""
+    out = str(tmp_path / "ckpts")
+
+    def mk(resume):
+        tcfg = TrainConfig(batch_size=4, seq_len=16, learning_rate=1e-3,
+                           optimizer="adamw", schedule="constant",
+                           total_steps=10, warmup_steps=1,
+                           checkpoint_every=4, log_every=1000,
+                           output_dir=out, resume=resume,
+                           data=2, fsdp=2, tensor=2)
+        return Trainer(init_fn=lambda key: dec.init_decoder(key, CFG),
+                       loss_fn=lm_loss_fn(CFG), cfg=tcfg)
+
+    batches = list(synthetic_text_batches(
+        batch_size=4, seq_len=16, vocab_size=CFG.vocab_size, steps=6))
+
+    # uninterrupted 6-step run
+    cont = mk(resume=False)
+    state_c, _ = cont.run(iter(batches), steps=6)
+
+    # interrupted: 4 steps (writes step-4 checkpoint), then resume for 2 more
+    part = mk(resume=False)
+    part.run(iter(batches), steps=4)
+    resumed = mk(resume=True)
+    state_r, _ = resumed.run(iter(batches))
+
+    assert int(state_r["step"]) == int(state_c["step"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-6),
+        state_c["params"], state_r["params"])
