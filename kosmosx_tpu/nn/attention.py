@@ -144,21 +144,25 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
     q, k, v = _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads)
 
     if cache is None:
-        if xpos:
-            # full-sequence path: torchscale centers at L//2 (cancels in q.k)
-            center = l // 2
-            q = apply_xpos(q, scale_base=xpos_scale_base, downscale=False, center=center)
-            k = apply_xpos(k, scale_base=xpos_scale_base, downscale=True, center=center)
         new_cache = None
         seg_q = seg_kv = segment_ids
         use_flash_here = (use_flash and l >= _FLASH_MIN_LEN
                           and not (rng is not None and attn_dropout > 0.0))
         if use_flash_here:
+            # xPos rotation+decay fused into the kernel: q/k tiles rotate in
+            # VMEM instead of two fp32 HBM passes per layer
             o = flash_attention(q, k, v, causal=causal, sm_scale=1.0,
                                 q_segment_ids=seg_q, kv_segment_ids=seg_kv,
                                 block_q=flash_block_q, block_kv=flash_block_kv,
-                                interpret=interpret)
+                                interpret=interpret,
+                                xpos_scale_base=(xpos_scale_base if xpos
+                                                 else None))
         else:
+            if xpos:
+                # full-seq path: torchscale centers at L//2 (cancels in q.k)
+                center = l // 2
+                q = apply_xpos(q, scale_base=xpos_scale_base, downscale=False, center=center)
+                k = apply_xpos(k, scale_base=xpos_scale_base, downscale=True, center=center)
             o = _jnp_attention(q, k, v, causal=causal, kv_len=None,
                                attn_dropout=attn_dropout, rng=rng,
                                segment_q=seg_q, segment_kv=seg_kv)

@@ -88,6 +88,64 @@ def _block_below_or_on_diag(qi, block_q, ki, block_kv):
     return (qi + 1) * block_q - 1 >= ki * block_kv
 
 
+# ---------------------------------------------------------------------------
+# Fused xPos support
+# ---------------------------------------------------------------------------
+#
+# xPos (torchscale XPOS; see nn/xpos.py) rotates q/k per position and applies
+# a reciprocal decay (queries upscaled, keys downscaled). Applied outside the
+# kernel it costs two full fp32 elementwise passes over (B, H, L, hd) per
+# layer — pure HBM traffic. Fused, the rotation happens on tiles already in
+# VMEM: sin/cos/decay tables (L, hd) are precomputed ONCE per call (tiny),
+# and rotate-every-two is expressed as a matmul with a constant antisymmetric
+# permutation matrix R (hd x hd) — MXU-friendly, no strided lane ops.
+#
+#   xpos(x) = x * cos_t + (x @ R) * sin_t          (tables include the decay)
+#   d/dx    = g * cos_t - (g * sin_t) @ R          (R^T = -R)
+
+def _rot_matrix(hd: int):
+    """R with R[2m+1, 2m] = -1, R[2m, 2m+1] = +1: x @ R == rotate_every_two(x)."""
+    i = lax.broadcasted_iota(jnp.int32, (hd, hd), 0)
+    j = lax.broadcasted_iota(jnp.int32, (hd, hd), 1)
+    minus = (i == j + 1) & (j % 2 == 0)
+    plus = (j == i + 1) & (i % 2 == 0)
+    return jnp.where(minus, -1.0, jnp.where(plus, 1.0, 0.0)).astype(jnp.float32)
+
+
+def _xpos_tables(lq: int, lk: int, hd: int, scale_base: float, center: int):
+    """(q_sin, q_cos, k_sin, k_cos), each (L, hd) fp32 with the xPos decay
+    baked in (q tables carry zeta**power, k tables zeta**-power)."""
+    from kosmosx_tpu.nn.xpos import xpos_sin_cos_scale  # lazy: avoid pkg cycle
+
+    def tables(length):
+        sin, cos, scale = xpos_sin_cos_scale(length, hd, offset=0,
+                                             scale_base=int(scale_base),
+                                             center=center)
+        qs = jnp.repeat(sin * scale, 2, axis=-1)
+        qc = jnp.repeat(cos * scale, 2, axis=-1)
+        ks = jnp.repeat(sin / scale, 2, axis=-1)
+        kc = jnp.repeat(cos / scale, 2, axis=-1)
+        return qs, qc, ks, kc
+
+    q_sin, q_cos, _, _ = tables(lq)
+    _, _, k_sin, k_cos = tables(lk)
+    return q_sin, q_cos, k_sin, k_cos
+
+
+def _apply_rot(x, sin_t, cos_t, rot):
+    """x (block, hd) any float dtype; tables fp32. Returns x's dtype."""
+    x32 = x.astype(jnp.float32)
+    y = x32 * cos_t + lax.dot(x32, rot,
+                              preferred_element_type=jnp.float32) * sin_t
+    return y.astype(x.dtype)
+
+
+def _apply_rot_transpose(g, sin_t, cos_t, rot):
+    """VJP of _apply_rot w.r.t. x: g * cos - (g * sin) @ R (fp32 in/out)."""
+    return g * cos_t - lax.dot(g * sin_t, rot,
+                               preferred_element_type=jnp.float32)
+
+
 def _tile_mask(causal, qi, ki, qseg, kseg, block_q, block_kv):
     """Combined causal+segment boolean mask for one (block_q, block_kv) tile,
     or None. qseg: (block_q, 1) | None; kseg: (1, block_kv) | None."""
@@ -107,6 +165,7 @@ def _tile_mask(causal, qi, ki, qseg, kseg, block_q, block_kv):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+                qsin_ref, qcos_ref, ksin_ref, kcos_ref,
                 o_ref, l_ref, m_ref,
                 m_scr, l_scr, acc_scr,
                 *, causal, sm_scale, mask_value, num_kv_blocks, block_q, block_kv):
@@ -125,6 +184,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
     def _run():
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_kv, d)
+        if qsin_ref is not None:  # fused xPos on VMEM tiles
+            rot = _rot_matrix(q.shape[-1])
+            q = _apply_rot(q, qsin_ref[...], qcos_ref[...], rot)
+            k = _apply_rot(k, ksin_ref[...], kcos_ref[...], rot)
         s = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
         if sm_scale != 1.0:
@@ -159,15 +222,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         m_ref[0, 0] = jnp.broadcast_to(m_scr[:, :1], (block_q, NUM_SUBLANES))
 
 
-def _fwd(q, k, v, q_segment_ids, kv_segment_ids, *, causal, sm_scale,
-         block_q, block_kv, mask_value, interpret):
+def _fwd(q, k, v, q_segment_ids, kv_segment_ids, xpos_tables, *, causal,
+         sm_scale, block_q, block_kv, mask_value, interpret):
     """q: (B, H, Lq, D); k/v: (B, H, Lk, D); q_seg: (B, Lq, 8) | None;
-    kv_seg: (B, 8, Lk) | None. Returns (o, l, m) with l/m: (B, H, Lq, 8)."""
+    kv_seg: (B, 8, Lk) | None; xpos_tables: (q_sin, q_cos, k_sin, k_cos)
+    each (L, D) fp32 | None. Returns (o, l, m) with l/m: (B, H, Lq, 8)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq = lq // block_q
     nk = lk // block_kv
     has_seg = q_segment_ids is not None
+    has_xpos = xpos_tables is not None
 
     def kv_index_map(bi, hi, qi, ki):
         if causal:
@@ -179,6 +244,11 @@ def _fwd(q, k, v, q_segment_ids, kv_segment_ids, *, causal, sm_scale,
         if causal:
             ki = lax.select(_block_below_or_on_diag(qi, block_q, ki, block_kv), ki, 0)
         return (bi, 0, ki)
+
+    def ktab_index_map(bi, hi, qi, ki):
+        if causal:
+            ki = lax.select(_block_below_or_on_diag(qi, block_q, ki, block_kv), ki, 0)
+        return (ki, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -194,11 +264,25 @@ def _fwd(q, k, v, q_segment_ids, kv_segment_ids, *, causal, sm_scale,
             pl.BlockSpec((1, NUM_SUBLANES, block_kv), kseg_index_map),
         ]
         args += [q_segment_ids, kv_segment_ids]
-        kernel = functools.partial(_fwd_kernel, **kw)
-    else:
-        def kernel(q_r, k_r, v_r, o_r, l_r, m_r, m_s, l_s, a_s):
-            return _fwd_kernel(q_r, k_r, v_r, None, None, o_r, l_r, m_r,
-                               m_s, l_s, a_s, **kw)
+    if has_xpos:
+        qtab_spec = pl.BlockSpec((block_q, d), lambda bi, hi, qi, ki: (qi, 0))
+        ktab_spec = pl.BlockSpec((block_kv, d), ktab_index_map)
+        in_specs += [qtab_spec, qtab_spec, ktab_spec, ktab_spec]
+        args += list(xpos_tables)
+
+    def kernel(*refs):
+        i = 3
+        qseg = kseg = qsin = qcos = ksin = kcos = None
+        if has_seg:
+            qseg, kseg = refs[i:i + 2]
+            i += 2
+        if has_xpos:
+            qsin, qcos, ksin, kcos = refs[i:i + 4]
+            i += 4
+        o_r, l_r, m_r, m_s, l_s, a_s = refs[i:i + 6]
+        return _fwd_kernel(refs[0], refs[1], refs[2], qseg, kseg,
+                           qsin, qcos, ksin, kcos, o_r, l_r, m_r,
+                           m_s, l_s, a_s, **kw)
 
     o, l, m = pl.pallas_call(
         kernel,
@@ -248,6 +332,7 @@ def _recompute_p(q, k, l, m, *, sm_scale, causal, qi, ki, qseg, kseg,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
                     qseg_ref, kseg_ref,
+                    qsin_ref, qcos_ref, ksin_ref, kcos_ref,
                     dk_ref, dv_ref,
                     dk_scr, dv_scr,
                     *, causal, sm_scale, mask_value, num_q_blocks,
@@ -267,6 +352,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
+        if qsin_ref is not None:  # rotate into the xPos basis (fwd parity)
+            rot = _rot_matrix(q.shape[-1])
+            q = _apply_rot(q, qsin_ref[...], qcos_ref[...], rot)
+            k = _apply_rot(k, ksin_ref[...], kcos_ref[...], rot)
         do = do_ref[0, 0].astype(jnp.float32)
         l = l_ref[0, 0][:, :1]
         m = m_ref[0, 0][:, :1]
@@ -294,12 +383,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
 
     @pl.when(qi == num_q_blocks - 1)
     def _store():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dk_rot = dk_scr[...]
+        if ksin_ref is not None:
+            # accumulated grads are w.r.t. rotated keys; map back (R^T = -R)
+            dk_rot = _apply_rot_transpose(dk_rot, ksin_ref[...],
+                                          kcos_ref[...],
+                                          _rot_matrix(dk_rot.shape[-1]))
+        dk_ref[0, 0] = dk_rot.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
                    qseg_ref, kseg_ref,
+                   qsin_ref, qcos_ref, ksin_ref, kcos_ref,
                    dq_ref,
                    dq_scr,
                    *, causal, sm_scale, mask_value, num_kv_blocks,
@@ -318,6 +414,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
+        if qsin_ref is not None:
+            rot = _rot_matrix(q.shape[-1])
+            q = _apply_rot(q, qsin_ref[...], qcos_ref[...], rot)
+            k = _apply_rot(k, ksin_ref[...], kcos_ref[...], rot)
         do = do_ref[0, 0].astype(jnp.float32)
         l = l_ref[0, 0][:, :1]
         m = m_ref[0, 0][:, :1]
@@ -341,16 +441,22 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        dq_rot = dq_scr[...]
+        if qsin_ref is not None:
+            dq_rot = _apply_rot_transpose(dq_rot, qsin_ref[...],
+                                          qcos_ref[...],
+                                          _rot_matrix(dq_rot.shape[-1]))
+        dq_ref[0, 0] = dq_rot.astype(dq_ref.dtype)
 
 
-def _bwd(q, k, v, q_segment_ids, kv_segment_ids, o, l, m, do, *,
+def _bwd(q, k, v, q_segment_ids, kv_segment_ids, xpos_tables, o, l, m, do, *,
          causal, sm_scale, block_q, block_kv, mask_value, interpret):
     b, h, lq, d = q.shape
     lk = k.shape[2]
     nq = lq // block_q
     nk = lk // block_kv
     has_seg = q_segment_ids is not None
+    has_xpos = xpos_tables is not None
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # (B,H,Lq)
     di = jnp.broadcast_to(di[..., None], (b, h, lq, NUM_SUBLANES))
@@ -369,11 +475,27 @@ def _bwd(q, k, v, q_segment_ids, kv_segment_ids, o, l, m, do, *,
             pl.BlockSpec((1, NUM_SUBLANES, block_kv), lambda bi, hi, ji, ii: (bi, 0, ji)),
         ]
         args += [q_segment_ids, kv_segment_ids]
-        kern = functools.partial(_bwd_dkv_kernel, **kw)
-    else:
-        def kern(q_r, k_r, v_r, do_r, l_r, m_r, di_r, dk_r, dv_r, dks, dvs):
-            return _bwd_dkv_kernel(q_r, k_r, v_r, do_r, l_r, m_r, di_r,
-                                   None, None, dk_r, dv_r, dks, dvs, **kw)
+    if has_xpos:
+        in_specs += [
+            pl.BlockSpec((block_q, d), lambda bi, hi, ji, ii: (ii, 0)),
+            pl.BlockSpec((block_q, d), lambda bi, hi, ji, ii: (ii, 0)),
+            pl.BlockSpec((block_kv, d), lambda bi, hi, ji, ii: (ji, 0)),
+            pl.BlockSpec((block_kv, d), lambda bi, hi, ji, ii: (ji, 0)),
+        ]
+        args += list(xpos_tables)
+
+    def kern(*refs):
+        i = 7
+        qseg = kseg = qsin = qcos = ksin = kcos = None
+        if has_seg:
+            qseg, kseg = refs[i:i + 2]
+            i += 2
+        if has_xpos:
+            qsin, qcos, ksin, kcos = refs[i:i + 4]
+            i += 4
+        dk_r, dv_r, dks, dvs = refs[i:i + 4]
+        return _bwd_dkv_kernel(*refs[:7], qseg, kseg, qsin, qcos, ksin, kcos,
+                               dk_r, dv_r, dks, dvs, **kw)
 
     dk, dv = pl.pallas_call(
         kern,
@@ -423,11 +545,32 @@ def _bwd(q, k, v, q_segment_ids, kv_segment_ids, o, l, m, do, *,
             pl.BlockSpec((1, NUM_SUBLANES, block_kv), kseg_index_map),
         ]
         args_q += [q_segment_ids, kv_segment_ids]
-        kern_q = functools.partial(_bwd_dq_kernel, **kwq)
-    else:
-        def kern_q(q_r, k_r, v_r, do_r, l_r, m_r, di_r, dq_r, dqs):
-            return _bwd_dq_kernel(q_r, k_r, v_r, do_r, l_r, m_r, di_r,
-                                  None, None, dq_r, dqs, **kwq)
+    if has_xpos:
+        def ktab_index_map_q(bi, hi, ii, ji):
+            if causal:
+                ji = lax.select(_block_below_or_on_diag(ii, block_q, ji, block_kv), ji, 0)
+            return (ji, 0)
+
+        in_specs_q += [
+            pl.BlockSpec((block_q, d), lambda bi, hi, ii, ji: (ii, 0)),
+            pl.BlockSpec((block_q, d), lambda bi, hi, ii, ji: (ii, 0)),
+            pl.BlockSpec((block_kv, d), ktab_index_map_q),
+            pl.BlockSpec((block_kv, d), ktab_index_map_q),
+        ]
+        args_q += list(xpos_tables)
+
+    def kern_q(*refs):
+        i = 7
+        qseg = kseg = qsin = qcos = ksin = kcos = None
+        if has_seg:
+            qseg, kseg = refs[i:i + 2]
+            i += 2
+        if has_xpos:
+            qsin, qcos, ksin, kcos = refs[i:i + 4]
+            i += 4
+        dq_r, dqs = refs[i:i + 2]
+        return _bwd_dq_kernel(*refs[:7], qseg, kseg, qsin, qcos, ksin, kcos,
+                              dq_r, dqs, **kwq)
 
     dq = pl.pallas_call(
         kern_q,
@@ -448,27 +591,42 @@ def _bwd(q, k, v, q_segment_ids, kv_segment_ids, o, l, m, do, *,
 # Public API with custom VJP + ragged-length padding wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _flash(q, k, v, q_segment_ids, kv_segment_ids,
-           causal, sm_scale, block_q, block_kv, mask_value, interpret):
-    o, _, _ = _fwd(q, k, v, q_segment_ids, kv_segment_ids, causal=causal,
-                   sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
-                   mask_value=mask_value, interpret=interpret)
+           causal, sm_scale, block_q, block_kv, mask_value, interpret,
+           xpos_scale_base, xpos_center):
+    o, _, _ = _fwd(q, k, v, q_segment_ids, kv_segment_ids,
+                   _maybe_tables(q, k, xpos_scale_base, xpos_center),
+                   causal=causal, sm_scale=sm_scale, block_q=block_q,
+                   block_kv=block_kv, mask_value=mask_value,
+                   interpret=interpret)
     return o
 
 
+def _maybe_tables(q, k, xpos_scale_base, xpos_center):
+    if xpos_scale_base is None:
+        return None
+    return _xpos_tables(q.shape[2], k.shape[2], q.shape[3],
+                        xpos_scale_base, xpos_center)
+
+
 def _flash_fwd(q, k, v, q_segment_ids, kv_segment_ids,
-               causal, sm_scale, block_q, block_kv, mask_value, interpret):
-    o, l, m = _fwd(q, k, v, q_segment_ids, kv_segment_ids, causal=causal,
-                   sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
-                   mask_value=mask_value, interpret=interpret)
+               causal, sm_scale, block_q, block_kv, mask_value, interpret,
+               xpos_scale_base, xpos_center):
+    o, l, m = _fwd(q, k, v, q_segment_ids, kv_segment_ids,
+                   _maybe_tables(q, k, xpos_scale_base, xpos_center),
+                   causal=causal, sm_scale=sm_scale, block_q=block_q,
+                   block_kv=block_kv, mask_value=mask_value,
+                   interpret=interpret)
     return o, (q, k, v, q_segment_ids, kv_segment_ids, o, l, m)
 
 
 def _flash_bwd(causal, sm_scale, block_q, block_kv, mask_value, interpret,
-               res, do):
+               xpos_scale_base, xpos_center, res, do):
     q, k, v, q_segment_ids, kv_segment_ids, o, l, m = res
-    dq, dk, dv = _bwd(q, k, v, q_segment_ids, kv_segment_ids, o, l, m, do,
+    dq, dk, dv = _bwd(q, k, v, q_segment_ids, kv_segment_ids,
+                      _maybe_tables(q, k, xpos_scale_base, xpos_center),
+                      o, l, m, do,
                       causal=causal, sm_scale=sm_scale, block_q=block_q,
                       block_kv=block_kv, mask_value=mask_value,
                       interpret=interpret)
@@ -490,7 +648,8 @@ def _pad_to(x, length, axis, value=0):
 def flash_attention(q, k, v, *, causal=True, sm_scale=1.0,
                     q_segment_ids=None, kv_segment_ids=None,
                     block_q=512, block_kv=512,
-                    mask_value=DEFAULT_MASK_VALUE, interpret=False):
+                    mask_value=DEFAULT_MASK_VALUE, interpret=False,
+                    xpos_scale_base=None, xpos_center=None):
     """Flash attention over (B, H, L, D) tensors.
 
     - ``q_segment_ids``/``kv_segment_ids``: (B, Lq)/(B, Lk) int32; positions
@@ -499,8 +658,12 @@ def flash_attention(q, k, v, *, causal=True, sm_scale=1.0,
       through, SURVEY.md §3.4).
     - Ragged lengths are padded to block multiples internally; padded KV is
       hidden via synthesized segment ids.
+    - ``xpos_scale_base``/``xpos_center``: when set, xPos rotation+decay is
+      FUSED into the kernels (fwd and bwd) — pass UN-rotated q/k. Equivalent
+      to ``apply_xpos(q/k, scale_base=..., center=...)`` outside, minus two
+      full fp32 HBM passes over (B, H, L, hd) per layer.
     - Assumes Lq == Lk alignment at the top-left for the causal path
-      (training/prefill). For cached decode use ops.decode_attention.
+      (training/prefill). For cached decode use the jnp attention path.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -526,8 +689,12 @@ def flash_attention(q, k, v, *, causal=True, sm_scale=1.0,
     kp = _pad_to(k, lk_pad, 2)
     vp = _pad_to(v, lk_pad, 2)
 
+    if xpos_scale_base is not None and xpos_center is None:
+        xpos_center = lq // 2  # torchscale full-sequence centering
     o = _flash(qp, kp, vp, qs, ks, causal, float(sm_scale),
-               int(block_q), int(block_kv), float(mask_value), bool(interpret))
+               int(block_q), int(block_kv), float(mask_value), bool(interpret),
+               None if xpos_scale_base is None else float(xpos_scale_base),
+               None if xpos_scale_base is None else int(xpos_center))
     if lq_pad != lq:
         o = o[:, :, :lq]
     return o

@@ -108,3 +108,37 @@ def test_mqa_style_short_kv():
     expect = p @ v[0]
     np.testing.assert_allclose(np.asarray(ref[0, :, -1]),
                                np.asarray(expect[:, 0]), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_xpos_matches_external(devices):
+    """xpos_scale_base fused into the kernel == apply_xpos outside + plain
+    kernel, for forward and all three input grads."""
+    import jax
+    from kosmosx_tpu.nn.xpos import apply_xpos
+
+    key = jax.random.PRNGKey(11)
+    B, H, L, D = 2, 2, 384, 64
+    q = jax.random.normal(key, (B, H, L, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, L, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, L, D), jnp.float32)
+
+    def ext(q, k, v):
+        qr = apply_xpos(q, scale_base=512, downscale=False, center=L // 2)
+        kr = apply_xpos(k, scale_base=512, downscale=True, center=L // 2)
+        return flash_attention(qr, kr, v, causal=True, block_q=128,
+                               block_kv=128, interpret=True)
+
+    def fused(q, k, v):
+        return flash_attention(q, k, v, causal=True, block_q=128,
+                               block_kv=128, interpret=True,
+                               xpos_scale_base=512)
+
+    with jax.default_matmul_precision("highest"):
+        np.testing.assert_allclose(np.asarray(ext(q, k, v)),
+                                   np.asarray(fused(q, k, v)),
+                                   atol=1e-4, rtol=1e-4)
+        g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(ext(*a))), (0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(fused(*a))), (0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3)
