@@ -74,6 +74,10 @@ class MagnetoConfig:
     flash_block_q: int = 512
     flash_block_kv: int = 512
     remat: bool = False
+    # jax.checkpoint policy when remat=True: "nothing" (recompute all),
+    # "dots" (save matmul outputs, recompute elementwise — usually the best
+    # FLOPs/HBM trade on TPU), "dots_no_batch" (save non-batch matmuls)
+    remat_policy: str = "nothing"
     # scan the layer stack (compile-time win for deep models)
     scan_layers: bool = False
 

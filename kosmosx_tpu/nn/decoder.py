@@ -230,7 +230,13 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                              interpret=interpret)
 
     if cfg.remat:
+        policies = {
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }
         one_layer = jax.checkpoint(one_layer,
+                                   policy=policies[cfg.remat_policy],
                                    static_argnums=(),
                                    prevent_cse=False)
 

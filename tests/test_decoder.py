@@ -146,3 +146,21 @@ def test_position_overflow_raises():
     toks_bad = jnp.zeros((1, max_len + 1), jnp.int32)
     with pytest.raises(ValueError, match="max_positions"):
         dec.decoder_forward(p, toks_bad, CFG)
+
+
+@pytest.mark.parametrize("policy", ["nothing", "dots", "dots_no_batch"])
+def test_remat_policies_grads_match(policy):
+    """Every remat policy recomputes to bit-identical gradients."""
+    base = dataclasses.replace(CFG, dropout=0.0, attention_dropout=0.0)
+    p = _params(base)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 4, base.vocab_size)
+
+    def loss(cfg):
+        return lambda pp: jnp.sum(
+            dec.decoder_forward(pp, toks, cfg).astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(loss(base))(p)
+    cfg = dataclasses.replace(base, remat=True, remat_policy=policy)
+    g1 = jax.grad(loss(cfg))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
