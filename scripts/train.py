@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan-layers", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="activation checkpointing (ref train.py:84-110)")
+    p.add_argument("--remat-policy", default="nothing",
+                   choices=["nothing", "dots", "dots_no_batch"])
     # training (reference CFG, train.py:53-69)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--grad-accum", type=int, default=1)
@@ -77,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # honor JAX_PLATFORMS even when a site plugin force-registered another
+    # backend (the axon TPU tunnel overrides the env selection)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
     from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
                                          ResamplerConfig, VisionConfig)
     from kosmosx_tpu.train.data import (packed_text_batches,
@@ -92,7 +104,8 @@ def main(argv=None):
         ffn_dim=args.ffn_dim, heads=args.heads,
         max_positions=args.max_positions, multiway=not args.no_multiway,
         compute_dtype=args.dtype, use_flash_attention=not args.no_flash,
-        scan_layers=args.scan_layers, remat=args.remat)
+        scan_layers=args.scan_layers, remat=args.remat,
+        remat_policy=args.remat_policy)
     tcfg = TrainConfig(
         batch_size=args.batch_size, grad_accum=args.grad_accum,
         seq_len=args.seq_len, seed=args.seed, learning_rate=args.lr,
