@@ -29,7 +29,15 @@ from kosmosx_tpu.core.config import (
 _LAZY = {
     "Kosmos": "kosmosx_tpu.models.kosmos",
     "KosmosLanguage": "kosmosx_tpu.models.language",
+    "KosmosConditional": "kosmosx_tpu.models.conditional",
+    "KosmosAny": "kosmosx_tpu.models.any_modality",
     "KosmosTokenizer": "kosmosx_tpu.data.tokenizer",
+    "SamplingConfig": "kosmosx_tpu.generate.sampler",
+    "generate_text": "kosmosx_tpu.generate.sampler",
+    "generate_multimodal": "kosmosx_tpu.generate.sampler",
+    "Trainer": "kosmosx_tpu.train.trainer",
+    "TrainConfig": "kosmosx_tpu.train.trainer",
+    "flash_attention": "kosmosx_tpu.ops.flash_attention",
 }
 
 
@@ -44,9 +52,17 @@ def __getattr__(name):  # lazy imports keep `import kosmosx_tpu` light
 __all__ = [
     "Kosmos",
     "KosmosLanguage",
+    "KosmosConditional",
+    "KosmosAny",
     "KosmosTokenizer",
     "MagnetoConfig",
     "VisionConfig",
     "ResamplerConfig",
     "KosmosConfig",
+    "SamplingConfig",
+    "generate_text",
+    "generate_multimodal",
+    "Trainer",
+    "TrainConfig",
+    "flash_attention",
 ]
