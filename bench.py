@@ -107,7 +107,7 @@ def main():
         decoder=MagnetoConfig(compute_dtype="bfloat16", scan_layers=True,
                               dropout=0.0, attention_dropout=0.0,
                               use_flash_attention=True, max_positions=8194,
-                              flash_block_q=512, flash_block_kv=512),
+                              flash_block_q=1024, flash_block_kv=1024),
         vision=VisionConfig(compute_dtype="bfloat16"),
         resampler=ResamplerConfig(compute_dtype="bfloat16"),
     )

@@ -71,8 +71,10 @@ class MagnetoConfig:
     # numerics / execution
     compute_dtype: str = "float32"
     use_flash_attention: bool = True
-    flash_block_q: int = 512
-    flash_block_kv: int = 512
+    # 1024x1024 measured fastest on v5e for the flagship at seq 2048
+    # (BASELINE.md block sweep); flash_attention clamps to the sequence
+    flash_block_q: int = 1024
+    flash_block_kv: int = 1024
     remat: bool = False
     # jax.checkpoint policy when remat=True: "nothing" (recompute all),
     # "dots" (save matmul outputs, recompute elementwise — usually the best
