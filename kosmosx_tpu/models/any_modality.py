@@ -95,9 +95,14 @@ class KosmosAny:
                     "<video>", "</video>", "<any>", "</any>")
 
     def __init__(self, decoder: Optional[MagnetoConfig] = None,
-                 seed: int = 0, image_embed_len: int = 64):
+                 seed: int = 0, image_embed_len: int = 64,
+                 unified: bool = False, unified_config=None):
+        """``unified=True`` routes every non-text modality through ONE
+        shared-trunk encoder (nn/unified.py — the working realization of the
+        reference's ImageBind sketch) instead of per-modality towers."""
         self.decoder = decoder or MagnetoConfig()
         self.image_embed_len = image_embed_len
+        self.unified = unified
         self._key = jax.random.PRNGKey(seed)
         self._key, dk = jax.random.split(self._key)
         self.params: Dict[str, Any] = {"decoder": dec.init_decoder(dk, self.decoder)}
@@ -109,6 +114,9 @@ class KosmosAny:
             "audio": AudioConfig(),
             "video": VideoConfig(),
         }
+        if unified:
+            from kosmosx_tpu.nn.unified import UnifiedConfig
+            self.unified_config = unified_config or UnifiedConfig()
 
     # -- lazy encoder construction (kosmos3 load_model equivalent) ----------
     def _ensure_encoder(self, modality: str):
@@ -116,6 +124,23 @@ class KosmosAny:
             return
         d = self.decoder.embed_dim
         self._key, k1, k2, k3 = jax.random.split(self._key, 4)
+        if self.unified:
+            from kosmosx_tpu.nn.unified import (init_unified_encoder,
+                                                unified_encode)
+
+            ucfg = self.unified_config
+            if "unified_enc" not in self.params:
+                self.params["unified_enc"] = init_unified_encoder(k1, ucfg)
+                self.params["unified_proj"] = {"w": init.magneto_output_projection(
+                    k2, (ucfg.hidden_dim, d))}
+
+            def encode(params, x, _m=modality):
+                z = unified_encode(params["unified_enc"], x, _m, ucfg)
+                return layers.linear(params["unified_proj"], z,
+                                     dtype=self.decoder.dtype)
+
+            self._encoders[modality] = encode
+            return
         if modality == "image":
             from kosmosx_tpu.nn.resampler import init_resampler, resampler
             from kosmosx_tpu.nn.vision import clip_vit, init_clip_vit

@@ -121,3 +121,53 @@ def test_tokenizer_sample_assembly_and_roundtrip():
     assert out["attention_mask"].shape == (b, l + 8)
     assert out["images"].shape == (1, 3, 224, 224)
     assert tok.decode(out["labels"][0]) == "a cat"
+
+
+class TestUnifiedEncoder:
+    """ImageBind-style shared trunk (nn/unified.py): every modality encodes
+    through ONE transformer into a joint CLS space."""
+
+    def _cfg(self):
+        from kosmosx_tpu.nn.unified import UnifiedConfig
+        return UnifiedConfig(hidden_dim=32, layers=2, heads=4, mlp_dim=64,
+                             max_tokens=128, image_patch=14, audio_patch=64,
+                             video_tube_t=2, video_tube_hw=16)
+
+    def test_all_modalities_share_trunk(self, devices):
+        import jax
+        import jax.numpy as jnp
+        from kosmosx_tpu.nn.unified import init_unified_encoder, unified_encode
+
+        cfg = self._cfg()
+        params = init_unified_encoder(jax.random.PRNGKey(0), cfg)
+        outs = {
+            "image": unified_encode(params, jnp.ones((2, 3, 28, 28)), "image", cfg),
+            "audio": unified_encode(params, jnp.ones((2, 640)), "audio", cfg),
+            "video": unified_encode(params, jnp.ones((2, 3, 4, 32, 32)), "video", cfg),
+            "any": unified_encode(params, jnp.ones((2, 5, 7)), "any", cfg),
+        }
+        for m, z in outs.items():
+            assert z.shape == (2, 1, cfg.hidden_dim), m
+            assert bool(jnp.all(jnp.isfinite(z))), m
+        # modality embedding differentiates outputs for identical-ish input stats
+        import numpy as np
+        assert not np.allclose(np.asarray(outs["audio"]), np.asarray(outs["any"]))
+
+    def test_kosmos_any_unified_mode(self, devices):
+        import jax.numpy as jnp
+        from kosmosx_tpu.core.config import MagnetoConfig
+        from kosmosx_tpu.models.any_modality import KosmosAny
+
+        model = KosmosAny(
+            decoder=MagnetoConfig(vocab_size=64, embed_dim=32, ffn_dim=64,
+                                  layers=2, heads=4, max_positions=64,
+                                  use_flash_attention=False, multiway=False,
+                                  dropout=0.0, attention_dropout=0.0),
+            unified=True, unified_config=self._cfg())
+        toks = jnp.ones((2, 8), jnp.int32)
+        logits = model(toks, media=[("audio", jnp.ones((2, 640))),
+                                    ("video", jnp.ones((2, 3, 4, 32, 32)))])
+        assert logits.shape == (2, 8 + 2, 64)
+        # one shared trunk, not per-modality towers
+        assert "unified_enc" in model.params
+        assert "audio_enc" not in model.params
