@@ -1,0 +1,69 @@
+"""KV-cache decode throughput on the flagship (BASELINE.json config 5).
+
+Measures autoregressive generation: one jitted prefill+`lax.scan` decode
+(generate/sampler.py) on the 2.88B-param Kosmos at bf16. Decode is
+HBM-bandwidth bound (every step reads all params), so tokens/sec/chip here
+tracks achievable bandwidth utilization rather than MXU peak.
+
+Run: python benchmarks/decode_bench.py [batch] [new_tokens]
+Prints one JSON line {"metric": "decode tokens/sec/chip", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128):
+    import jax
+    import jax.numpy as jnp
+
+    from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
+                                         ResamplerConfig, VisionConfig)
+    from kosmosx_tpu.core.dtypes import init_casted
+    from kosmosx_tpu.generate import SamplingConfig, generate_multimodal
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    cfg = KosmosConfig(
+        decoder=MagnetoConfig(compute_dtype="bfloat16", scan_layers=True,
+                              dropout=0.0, attention_dropout=0.0,
+                              max_positions=8194),
+        vision=VisionConfig(compute_dtype="bfloat16"),
+        resampler=ResamplerConfig(compute_dtype="bfloat16"))
+    params = init_casted(lambda k: Kosmos.init(k, cfg),
+                         jax.random.PRNGKey(0), cfg.dtype)
+    scfg = SamplingConfig(max_new_tokens=new_tokens, greedy=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(9), (batch, 3, 224, 224),
+                             jnp.float32)
+
+    def run(seed):
+        toks = jax.random.randint(jax.random.PRNGKey(seed),
+                                  (batch, prompt_len), 4,
+                                  cfg.decoder.vocab_size, jnp.int32)
+        out = generate_multimodal(params, cfg, toks, imgs, scfg)
+        return int(out[0, -1])  # host fetch = the only reliable sync
+
+    run(0)  # compile
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    tps = batch * new_tokens / best
+    print(json.dumps({
+        "metric": f"decode tokens/sec/chip (2.88B flagship, bf16, batch "
+                  f"{batch}, {new_tokens} new tokens, {prompt_len}+64 prefill)",
+        "value": round(tps, 1),
+        "unit": "tokens/sec/chip",
+        "seconds_per_call": round(best, 3),
+        "ms_per_token": round(best / new_tokens * 1000, 2),
+    }))
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    main(b, n)
