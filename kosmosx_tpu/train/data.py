@@ -98,3 +98,39 @@ def synthetic_multimodal_batches(*, batch_size: int, seq_len: int,
         imgs = rng.rand(batch_size, 3, image_size, image_size).astype(np.float32)
         yield {"text_tokens": toks, "images": imgs}
         i += 1
+
+
+def multimodal_batches(samples: Iterable[Dict[str, Any]], tokenizer, *,
+                       batch_size: int, text_len: int,
+                       ) -> Iterator[Dict[str, np.ndarray]]:
+    """Real image+text batches from raw {"target_text", "image"} samples.
+
+    Tokenizes each caption through ``KosmosTokenizer.tokenize_texts`` (BOS +
+    <image></image> tags spliced), pads/truncates to a FIXED ``text_len``
+    (static shapes — one compiled train step), CLIP-normalizes images
+    device-side, and stacks. Completes the data path the reference lacks:
+    it trains its multimodal model on text-only C4/openwebtext
+    (SURVEY.md §2.6.4).
+    """
+    import jax.numpy as jnp
+
+    pad = tokenizer.pad_token_id
+    batch_toks: List[np.ndarray] = []
+    batch_imgs: List[np.ndarray] = []
+    for sample in samples:
+        ids, _ = tokenizer.tokenize_texts(sample["target_text"],
+                                          max_length=text_len)
+        row = np.full((text_len,), pad, np.int32)
+        n = min(ids.shape[1], text_len)
+        row[:n] = ids[0, :n]
+        batch_toks.append(row)
+        img = np.asarray(sample["image"])
+        if img.ndim == 3:
+            img = img[None]
+        batch_imgs.append(img[0])
+        if len(batch_toks) == batch_size:
+            imgs = np.stack(batch_imgs)
+            pixel_values = np.asarray(
+                tokenizer.tokenize_images(jnp.asarray(imgs)), np.float32)
+            yield {"text_tokens": np.stack(batch_toks), "images": pixel_values}
+            batch_toks, batch_imgs = [], []

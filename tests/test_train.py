@@ -175,3 +175,26 @@ def test_trainer_resume_matches_continuous(devices, tmp_path):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=1e-5, atol=1e-6),
         state_c["params"], state_r["params"])
+
+
+def test_multimodal_batches_collate(devices):
+    """Raw {text, image} samples -> fixed-shape Kosmos training batches."""
+    from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+    from kosmosx_tpu.train.data import multimodal_batches
+
+    tok = KosmosTokenizer(use_hf=False, image_size=28)
+    samples = [{"target_text": f"caption number {i}",
+                "image": np.random.RandomState(i).randint(
+                    0, 256, (3, 32, 32)).astype(np.uint8)}
+               for i in range(5)]
+    batches = list(multimodal_batches(iter(samples), tok,
+                                      batch_size=2, text_len=24))
+    assert len(batches) == 2  # 5 samples -> 2 full batches, remainder dropped
+    b = batches[0]
+    assert b["text_tokens"].shape == (2, 24)
+    assert b["images"].shape == (2, 3, 28, 28)
+    assert b["text_tokens"].dtype == np.int32
+    # BOS then <image>, </image> tags spliced at the front
+    assert b["text_tokens"][0, 0] == tok.bos_token_id
+    assert b["text_tokens"][0, 1] == tok.im_idx
+    assert b["text_tokens"][0, 2] == tok.im_end_idx
