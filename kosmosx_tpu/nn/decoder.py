@@ -245,14 +245,36 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
         # one body covers all rng/cache combinations with a single trace.
         rngs = jax.random.split(rng, cfg.layers) if rng is not None else None
 
-        def body(xx, sc):
-            lp, lrng, lcache = sc
-            y, ncache = one_layer(lp, xx, lrng, lcache)
-            return y, ncache
-
-        x, new_caches = jax.lax.scan(body, x, (params["layers"], rngs, caches))
         if caches is None:
+            def body(xx, sc):
+                lp, lrng = sc
+                y, _ = one_layer(lp, xx, lrng, None)
+                return y, None
+
+            x, _ = jax.lax.scan(body, x, (params["layers"], rngs))
             new_caches = None
+        else:
+            # Carry the stacked (layers, ...) cache and update each layer's
+            # slice in place: threading it through scan xs->ys instead would
+            # re-materialize the whole stacked cache every decode step
+            # (several full copies per token — dominates decode time).
+            def body(carry, sc):
+                xx, cache_all = carry
+                li, lp, lrng = sc
+                lcache = jax.tree_util.tree_map(
+                    lambda c: jax.lax.dynamic_index_in_dim(c, li, 0,
+                                                           keepdims=False),
+                    cache_all)
+                y, ncache = one_layer(lp, xx, lrng, lcache)
+                cache_all = jax.tree_util.tree_map(
+                    lambda c, n: jax.lax.dynamic_update_index_in_dim(
+                        c, n, li, 0),
+                    cache_all, ncache)
+                return (y, cache_all), None
+
+            (x, new_caches), _ = jax.lax.scan(
+                body, (x, caches),
+                (jnp.arange(cfg.layers), params["layers"], rngs))
     else:
         new_caches = [] if caches is not None else None
         rngs = (jax.random.split(rng, cfg.layers) if rng is not None else
