@@ -110,3 +110,19 @@ def test_multimodal_generation():
     first_naive = jnp.argmax(logits[:, -1], axis=-1)
     np.testing.assert_array_equal(np.asarray(out[:, 0]),
                                   np.asarray(first_naive))
+
+
+def test_topk_topp_distributions():
+    """top-k / top-p truncate support exactly; kept mass is renormalized."""
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+    draws_k = [int(sample_logits(logits, jax.random.PRNGKey(i),
+                                 SamplingConfig(top_k=2))[0])
+               for i in range(200)]
+    assert set(draws_k) <= {0, 1}
+    frac0 = draws_k.count(0) / len(draws_k)
+    assert 0.5 < frac0 < 0.75  # renormalized p(0) = 0.5/0.8 = 0.625
+
+    draws_p = [int(sample_logits(logits, jax.random.PRNGKey(1000 + i),
+                                 SamplingConfig(top_p=0.8))[0])
+               for i in range(200)]
+    assert set(draws_p) <= {0, 1}  # smallest set with cumulative >= 0.8
