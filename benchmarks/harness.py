@@ -133,8 +133,10 @@ class ScalabilityMetrics:
         from kosmosx_tpu.train.data import synthetic_text_batches
 
         params = dec.init_decoder(jax.random.PRNGKey(0), self.cfg)
+        # reduce over ALL positions so XLA cannot shrink the vocab
+        # projection to one row (tokens_per_sec counts every position)
         fwd = jax.jit(lambda p, t: jnp.sum(
-            dec.decoder_forward(p, t, self.cfg)[:, -1].astype(jnp.float32)))
+            dec.decoder_forward(p, t, self.cfg).astype(jnp.float32)))
         stream = synthetic_text_batches(batch_size=self.batch,
                                         seq_len=self.seq_len,
                                         vocab_size=self.cfg.vocab_size,

@@ -130,6 +130,14 @@ def generate_text(params, cfg: MagnetoConfig, prompt: jax.Array,
     if prompt_lengths is None:
         prompt_lengths = jnp.full((b,), lp, jnp.int32)
     max_len = lp + sampling.max_new_tokens
+    if max_len > cfg.max_target_positions:
+        # decode offsets are traced, so the positional table cannot catch
+        # this itself (it would silently clamp); validate the static bound
+        raise ValueError(
+            f"prompt ({lp}) + max_new_tokens ({sampling.max_new_tokens}) = "
+            f"{max_len} exceeds the learned position table "
+            f"(max usable length {cfg.max_target_positions}); raise "
+            f"max_positions")
     return _generate_text_jit(params, prompt, prompt_lengths, rng, cfg,
                               sampling, max_len)
 
@@ -186,5 +194,11 @@ def generate_multimodal(params, kcfg: KosmosConfig, text_tokens: jax.Array,
         prompt_lengths = jnp.full((b,), lt, jnp.int32)
     num_images = images.shape[1] if images.ndim == 5 else 1
     max_len = lt + num_images * kcfg.image_embed_len + sampling.max_new_tokens
+    if max_len > kcfg.decoder.max_target_positions:
+        raise ValueError(
+            f"text ({lt}) + image embeds ({num_images * kcfg.image_embed_len})"
+            f" + max_new_tokens ({sampling.max_new_tokens}) = {max_len} "
+            f"exceeds the learned position table (max usable length "
+            f"{kcfg.decoder.max_target_positions}); raise max_positions")
     return _generate_mm_jit(params, text_tokens, images, prompt_lengths, rng,
                             kcfg, sampling, max_len)

@@ -235,6 +235,9 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
             "dots": jax.checkpoint_policies.dots_saveable,
             "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         }
+        if cfg.remat_policy not in policies:
+            raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}; "
+                             f"choose from {sorted(policies)}")
         one_layer = jax.checkpoint(one_layer,
                                    policy=policies[cfg.remat_policy],
                                    static_argnums=(),

@@ -89,6 +89,11 @@ def _tokenize(params, x, modality: str, cfg: UnifiedConfig):
     if modality == "audio":
         b, t = x.shape
         n = t // cfg.audio_patch
+        if n == 0:
+            raise ValueError(
+                f"audio length {t} is shorter than one patch "
+                f"(audio_patch={cfg.audio_patch}); the trunk would see zero "
+                f"input tokens")
         frames = x[:, :n * cfg.audio_patch].astype(dtype).reshape(
             b, n, cfg.audio_patch)
         return frames @ params["tok_audio"]["w"].astype(dtype)
@@ -96,6 +101,10 @@ def _tokenize(params, x, modality: str, cfg: UnifiedConfig):
         b, c, t, hh, ww = x.shape
         tt, p = cfg.video_tube_t, cfg.video_tube_hw
         nt, nh, nw = t // tt, hh // p, ww // p
+        if nt == 0 or nh == 0 or nw == 0:
+            raise ValueError(
+                f"video shape (t={t}, h={hh}, w={ww}) smaller than one tube "
+                f"(t={tt}, hw={p}); the trunk would see zero input tokens")
         tubes = x.astype(dtype).reshape(b, c, nt, tt, nh, p, nw, p)
         tubes = tubes.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # (B,nt,nh,nw,c,tt,p,p)
         tubes = tubes.reshape(b, nt * nh * nw, c * tt * p * p)

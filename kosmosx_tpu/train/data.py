@@ -115,11 +115,15 @@ def multimodal_batches(samples: Iterable[Dict[str, Any]], tokenizer, *,
     import jax.numpy as jnp
 
     pad = tokenizer.pad_token_id
+    # the spliced row is BOS + one <tag></tag> pair per modality + caption;
+    # budget the raw encoding so full captions never lose trailing tokens
+    # to the fixed row width
+    reserve = 1 + 2 * len(tokenizer.modalities)
     batch_toks: List[np.ndarray] = []
     batch_imgs: List[np.ndarray] = []
     for sample in samples:
         ids, _ = tokenizer.tokenize_texts(sample["target_text"],
-                                          max_length=text_len)
+                                          max_length=max(1, text_len - reserve))
         row = np.full((text_len,), pad, np.int32)
         n = min(ids.shape[1], text_len)
         row[:n] = ids[0, :n]

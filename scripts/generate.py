@@ -51,13 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    want = os.environ.get("JAX_PLATFORMS")
-    if want:
-        import jax
-        try:
-            jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
+    from kosmosx_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
 
     import jax
     import jax.numpy as jnp

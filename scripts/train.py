@@ -79,15 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    # honor JAX_PLATFORMS even when a site plugin force-registered another
-    # backend (the axon TPU tunnel overrides the env selection)
-    want = os.environ.get("JAX_PLATFORMS")
-    if want:
-        import jax
-        try:
-            jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
+    from kosmosx_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
 
     from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
                                          ResamplerConfig, VisionConfig)
