@@ -131,9 +131,11 @@ def make_optimizer(name: str, schedule, *, weight_decay: float = 0.1,
                    beta1: float = 0.9, beta2: float = 0.95,
                    grad_clip: Optional[float] = 1.0,
                    params_for_mask=None) -> optax.GradientTransformation:
-    """name in {"lion", "adamw", "stable_adamw"}. Defaults mirror the
-    reference Train(): Lion(lr 1e-4, wd 0.1, betas (0.9, 0.95))
-    (/root/reference/train.py:547-556) and grad-clip 1.0 (:652)."""
+    """name in {"lion", "adamw", "stable_adamw", "adamw8bit", "lion8bit"}.
+    Defaults mirror the reference Train(): Lion(lr 1e-4, wd 0.1,
+    betas (0.9, 0.95)) (/root/reference/train.py:547-556) and grad-clip 1.0
+    (:652). The 8-bit variants keep moments in blockwise-int8 (the bnb
+    Adam8bit/Lion8bit the reference ships commented out, :399-402)."""
     mask = weight_decay_mask if params_for_mask is None else \
         weight_decay_mask(params_for_mask)
     if name == "lion":
@@ -145,6 +147,14 @@ def make_optimizer(name: str, schedule, *, weight_decay: float = 0.1,
     elif name == "stable_adamw":
         opt = stable_adamw(schedule, b1=beta1, b2=beta2,
                            weight_decay=weight_decay, mask=mask)
+    elif name == "adamw8bit":
+        from kosmosx_tpu.train.quant import adamw8bit
+        opt = adamw8bit(schedule, b1=beta1, b2=beta2,
+                        weight_decay=weight_decay, mask=mask)
+    elif name == "lion8bit":
+        from kosmosx_tpu.train.quant import lion8bit
+        opt = lion8bit(schedule, b1=beta1, b2=beta2,
+                       weight_decay=weight_decay, mask=mask)
     else:
         raise ValueError(f"unknown optimizer: {name}")
     if grad_clip is not None:

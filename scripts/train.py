@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--weight-decay", type=float, default=0.1)
     p.add_argument("--optimizer", default="lion",
-                   choices=["lion", "adamw", "stable_adamw"])
+                   choices=["lion", "adamw", "stable_adamw", "adamw8bit", "lion8bit"])
     p.add_argument("--schedule", default="cosine",
                    choices=["cosine", "linear", "constant"])
     p.add_argument("--steps", type=int, default=100_000)

@@ -126,3 +126,21 @@ def test_topk_topp_distributions():
                                  SamplingConfig(top_p=0.8))[0])
                for i in range(200)]
     assert set(draws_p) <= {0, 1}  # smallest set with cumulative >= 0.8
+
+
+def test_sharded_generation_matches_unsharded(devices):
+    """Generation under a (data, fsdp, tensor) mesh with sharded params ==
+    unsharded generation — SPMD serving works with no code changes."""
+    from kosmosx_tpu.parallel.mesh import make_mesh
+    from kosmosx_tpu.parallel.sharding import shard_params
+
+    params = dec.init_decoder(jax.random.PRNGKey(7), CFG)
+    prompt = jax.random.randint(jax.random.PRNGKey(8), (4, 6), 4, CFG.vocab_size)
+    scfg = SamplingConfig(max_new_tokens=5, greedy=True)
+    ref = np.asarray(generate_text(params, CFG, prompt, scfg))
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    with mesh:
+        sharded = shard_params(params, mesh)
+        out = np.asarray(generate_text(sharded, CFG, prompt, scfg))
+    np.testing.assert_array_equal(ref, out)
