@@ -16,7 +16,8 @@ import sys
 import time
 
 
-def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128):
+def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
+         w8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -34,6 +35,9 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128):
         resampler=ResamplerConfig(compute_dtype="bfloat16"))
     params = init_casted(lambda k: Kosmos.init(k, cfg),
                          jax.random.PRNGKey(0), cfg.dtype)
+    if w8:
+        from kosmosx_tpu.utils.quantize import quantize_params_w8
+        params = jax.jit(quantize_params_w8)(params)
     scfg = SamplingConfig(max_new_tokens=new_tokens, greedy=True)
     imgs = jax.random.normal(jax.random.PRNGKey(9), (batch, 3, 224, 224),
                              jnp.float32)
@@ -54,7 +58,8 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128):
     best = min(times)
     tps = batch * new_tokens / best
     print(json.dumps({
-        "metric": f"decode tokens/sec/chip (2.88B flagship, bf16, batch "
+        "metric": f"decode tokens/sec/chip (2.88B flagship, "
+                  f"{'int8 weights' if w8 else 'bf16'}, batch "
                   f"{batch}, {new_tokens} new tokens, {prompt_len}+64 prefill)",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
@@ -64,6 +69,7 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128):
 
 
 if __name__ == "__main__":
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    main(b, n)
+    args = [a for a in sys.argv[1:] if a != "--w8"]
+    b = int(args[0]) if len(args) > 0 else 8
+    n = int(args[1]) if len(args) > 1 else 128
+    main(b, n, w8="--w8" in sys.argv)

@@ -32,13 +32,36 @@ def init_linear(key, in_dim: int, out_dim: int, *, bias: bool = True,
     return params
 
 
+def dense_weight(w, dtype=None):
+    """Return a dense weight from either a raw array or a W8-quantized
+    ``{"q", "scale"}`` dict (for consumers that need the full tensor, e.g.
+    convolutions)."""
+    if isinstance(w, dict) and "q" in w:
+        w = w["q"].astype(dtype or jnp.float32) * w["scale"].astype(
+            dtype or jnp.float32)
+        return w
+    return w.astype(dtype) if dtype is not None else w
+
+
 def linear(params, x, *, dtype=None):
-    """y = x @ w (+ b). Weights stored (in, out): a single MXU-friendly matmul."""
+    """y = x @ w (+ b). Weights stored (in, out): a single MXU-friendly matmul.
+
+    Weight-only int8: when ``params["w"]`` is ``{"q": int8 (in, out),
+    "scale": (1, out)}`` (see utils/quantize_w8), the int8 codes are read
+    from HBM (half the bytes — decode is weight-read bound) and converted
+    on the fly; the per-output-channel scale commutes out of the
+    contraction, so ``(x @ q) * scale`` is exact algebra."""
     w = params["w"]
-    if dtype is not None:
-        x = x.astype(dtype)
-        w = w.astype(dtype)
-    y = x @ w
+    if isinstance(w, dict) and "q" in w:
+        q = w["q"].astype(dtype or jnp.float32)
+        if dtype is not None:
+            x = x.astype(dtype)
+        y = (x @ q) * w["scale"].astype(q.dtype)
+    else:
+        if dtype is not None:
+            x = x.astype(dtype)
+            w = w.astype(dtype)
+        y = x @ w
     if "b" in params:
         b = params["b"]
         if dtype is not None:
@@ -84,8 +107,15 @@ def init_embedding(key, num_embeddings: int, dim: int, *, padding_idx: Optional[
 
 def embedding(params, ids, *, dtype=None):
     """Plain gather. Replaces the reference's bitsandbytes 8-bit CUDA embedding
-    (/root/reference/kosmosx/model.py:161-163); in fp32/bf16 math they agree."""
+    (/root/reference/kosmosx/model.py:161-163); in fp32/bf16 math they agree.
+
+    Weight-only int8 (the actual bnb 8-bit embedding equivalent): a table of
+    ``{"q": int8 (V, D), "scale": (V, 1)}`` gathers int8 rows and rescales."""
     table = params["table"]
+    if isinstance(table, dict) and "q" in table:
+        rows = jnp.take(table["q"], ids, axis=0).astype(dtype or jnp.float32)
+        scales = jnp.take(table["scale"], ids, axis=0).astype(rows.dtype)
+        return rows * scales
     if dtype is not None:
         table = table.astype(dtype)
     return jnp.take(table, ids, axis=0)
@@ -105,7 +135,8 @@ def positional_embedding(params, seq_len: int, *, padding_idx: int = 1, offset=0
     it at /root/reference/kosmosx/model.py:164). ``offset`` supports
     incremental decoding (the cache length so far).
     """
-    rows = params["table"].shape[0]
+    table = params["table"]
+    rows = (table["q"] if isinstance(table, dict) else table).shape[0]
     if isinstance(offset, int):
         last = padding_idx + 1 + offset + seq_len - 1
         if last >= rows:

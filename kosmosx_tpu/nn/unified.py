@@ -85,7 +85,7 @@ def _tokenize(params, x, modality: str, cfg: UnifiedConfig):
     dtype = cfg.dtype
     if modality == "image":
         patches = patchify(x.astype(dtype), cfg.image_patch)
-        return patches @ params["tok_image"]["w"].astype(dtype)
+        return layers.linear(params["tok_image"], patches, dtype=dtype)
     if modality == "audio":
         b, t = x.shape
         n = t // cfg.audio_patch
@@ -96,7 +96,7 @@ def _tokenize(params, x, modality: str, cfg: UnifiedConfig):
                 f"input tokens")
         frames = x[:, :n * cfg.audio_patch].astype(dtype).reshape(
             b, n, cfg.audio_patch)
-        return frames @ params["tok_audio"]["w"].astype(dtype)
+        return layers.linear(params["tok_audio"], frames, dtype=dtype)
     if modality == "video":
         b, c, t, hh, ww = x.shape
         tt, p = cfg.video_tube_t, cfg.video_tube_hw
@@ -108,15 +108,16 @@ def _tokenize(params, x, modality: str, cfg: UnifiedConfig):
         tubes = x.astype(dtype).reshape(b, c, nt, tt, nh, p, nw, p)
         tubes = tubes.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # (B,nt,nh,nw,c,tt,p,p)
         tubes = tubes.reshape(b, nt * nh * nw, c * tt * p * p)
-        return tubes @ params["tok_video"]["w"].astype(dtype)
+        return layers.linear(params["tok_video"], tubes, dtype=dtype)
     # "any": flatten trailing dims into audio-width frames (zero-padded)
     flat = x.astype(dtype).reshape(x.shape[0], -1)
     n = max(1, -(-flat.shape[1] // cfg.audio_patch))
     width = min(flat.shape[1], n * cfg.audio_patch)
     frames = jnp.zeros((x.shape[0], n * cfg.audio_patch), dtype
                        ).at[:, :width].set(flat[:, :width])
-    return frames.reshape(x.shape[0], n, cfg.audio_patch) @ \
-        params["tok_audio"]["w"].astype(dtype)
+    return layers.linear(params["tok_audio"],
+                         frames.reshape(x.shape[0], n, cfg.audio_patch),
+                         dtype=dtype)
 
 
 def unified_encode(params, x, modality: str, cfg: UnifiedConfig, *,
@@ -132,9 +133,9 @@ def unified_encode(params, x, modality: str, cfg: UnifiedConfig, *,
         raise ValueError(f"{n + 1} tokens exceed max_tokens={cfg.max_tokens}")
     cls = jnp.broadcast_to(params["cls"].astype(dtype), (b, 1, d))
     x = jnp.concatenate([cls, tokens], axis=1)
-    x = x + params["pos"]["table"].astype(dtype)[None, :n + 1]
+    x = x + layers.dense_weight(params["pos"]["table"], dtype)[None, :n + 1]
     mod_id = MODALITIES.index(modality)
-    x = x + params["modality_embed"]["table"][mod_id].astype(dtype)
+    x = x + layers.dense_weight(params["modality_embed"]["table"], dtype)[mod_id]
     x = layers.layer_norm(params["pre_ln"], x, eps=cfg.layer_norm_eps)
 
     act = layers.activation_fn(cfg.activation)

@@ -32,8 +32,9 @@ def _conv3d_init(key, k: Tuple[int, int, int], cin: int, cout: int):
 
 def _conv3d(p, x, stride: Tuple[int, int, int], dtype):
     # x: (B, T, H, W, C); w: (kt, kh, kw, cin, cout)
+    from kosmosx_tpu.nn import layers
     out = jax.lax.conv_general_dilated(
-        x.astype(dtype), p["w"].astype(dtype),
+        x.astype(dtype), layers.dense_weight(p["w"], dtype),
         window_strides=stride, padding="SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     return out + p["b"].astype(dtype)

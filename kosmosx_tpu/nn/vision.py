@@ -111,11 +111,12 @@ def clip_vit(params, pixel_values, cfg: VisionConfig, *,
     dtype = cfg.dtype
     b = pixel_values.shape[0]
     patches = patchify(pixel_values.astype(dtype), cfg.patch_size)
-    x = patches @ params["patch_embed"]["w"].astype(dtype)  # (B, 256, d)
+    # through layers.linear so int8-quantized patch embeds work (W8 path)
+    x = layers.linear(params["patch_embed"], patches, dtype=dtype)  # (B, 256, d)
     cls = jnp.broadcast_to(params["class_embedding"].astype(dtype),
                            (b, 1, cfg.hidden_dim))
     x = jnp.concatenate([cls, x], axis=1)  # (B, 257, d)
-    x = x + params["pos_embed"]["table"].astype(dtype)[None]
+    x = x + layers.dense_weight(params["pos_embed"]["table"], dtype)[None]
     x = layers.layer_norm(params["pre_ln"], x, eps=cfg.layer_norm_eps)
 
     act = layers.activation_fn(cfg.activation)

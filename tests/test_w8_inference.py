@@ -1,0 +1,86 @@
+"""Weight-only int8 inference (utils/quantize.py + nn/layers W8 paths)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kosmosx_tpu.core.config import MagnetoConfig
+from kosmosx_tpu.nn import decoder as dec
+from kosmosx_tpu.nn import layers
+from kosmosx_tpu.utils.quantize import quantize_params_w8, w8_param_bytes
+
+CFG = MagnetoConfig(vocab_size=128, embed_dim=64, ffn_dim=128, layers=2,
+                    heads=4, max_positions=128, use_flash_attention=False,
+                    multiway=True, dropout=0.0, attention_dropout=0.0)
+
+
+def test_linear_w8_is_near_exact():
+    key = jax.random.PRNGKey(0)
+    p = {"w": jax.random.normal(key, (64, 96)),
+         "b": jax.random.normal(jax.random.fold_in(key, 1), (96,))}
+    x = jax.random.normal(jax.random.fold_in(key, 2), (5, 64))
+    ref = layers.linear(p, x)
+    q = quantize_params_w8(p, min_size=1)
+    assert q["w"]["q"].dtype == jnp.int8
+    out = layers.linear(q, x)
+    # per-channel int8 weight error <= absmax/254 per element -> small y error
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.15, rtol=0.05)
+
+
+def test_embedding_w8_per_row():
+    key = jax.random.PRNGKey(3)
+    p = {"table": jax.random.normal(key, (50, 32)) * 3.0}
+    ids = jnp.array([[0, 7, 49]])
+    ref = layers.embedding(p, ids)
+    q = quantize_params_w8(p, min_size=1)
+    out = layers.embedding(q, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3.0 * 3 / 127 + 1e-6)
+
+
+def test_decoder_w8_logits_track_fp32(devices):
+    params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 4, CFG.vocab_size)
+    ref = np.asarray(dec.decoder_forward(params, toks, CFG), np.float32)
+    qparams = quantize_params_w8(params, min_size=512)
+    out = np.asarray(dec.decoder_forward(qparams, toks, CFG), np.float32)
+    # quantization noise must not change what the model predicts
+    agree = np.mean(ref.argmax(-1) == out.argmax(-1))
+    assert agree > 0.9, agree
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.1, rel
+
+
+def test_w8_memory_halves(devices):
+    params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
+    from kosmosx_tpu.core.dtypes import cast_tree
+    bf16 = cast_tree(params, jnp.bfloat16)
+    q = quantize_params_w8(bf16, min_size=512)
+    assert w8_param_bytes(q) < 0.75 * w8_param_bytes(bf16)
+
+
+def test_w8_scan_layers_stacked(devices):
+    """Stacked (layers, in, out) weights quantize with per-layer scales and
+    slice correctly through the layer scan."""
+    cfg = dataclasses.replace(CFG, scan_layers=True)
+    params = dec.init_decoder(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, cfg.vocab_size)
+    ref = np.asarray(dec.decoder_forward(params, toks, cfg), np.float32)
+    out = np.asarray(dec.decoder_forward(
+        quantize_params_w8(params, min_size=512), toks, cfg), np.float32)
+    agree = np.mean(ref.argmax(-1) == out.argmax(-1))
+    assert agree > 0.9, agree
+
+
+def test_w8_generation_runs(devices):
+    from kosmosx_tpu.generate import SamplingConfig, generate_text
+
+    params = quantize_params_w8(
+        dec.init_decoder(jax.random.PRNGKey(0), CFG), min_size=512)
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 4, CFG.vocab_size)
+    out = generate_text(params, CFG, prompt,
+                        SamplingConfig(max_new_tokens=5, greedy=True))
+    assert out.shape == (2, 5)
