@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--w8", action="store_true",
+                   help="weight-only int8 inference (~half the HBM reads "
+                        "per decode step)")
     return p
 
 
@@ -83,6 +86,9 @@ def main(argv=None):
                              rng, dcfg.dtype)
         if args.checkpoint:
             params = _load(args.checkpoint, params)
+        if args.w8:
+            from kosmosx_tpu.utils.quantize import quantize_params_w8
+            params = jax.jit(quantize_params_w8)(params)
         ids, _ = tok.tokenize_texts(args.prompt, modalities=())
         out = generate_text(params, dcfg, jnp.asarray(ids), scfg)
     else:
@@ -94,6 +100,9 @@ def main(argv=None):
         params = init_casted(lambda k: Kosmos.init(k, kcfg), rng, dcfg.dtype)
         if args.checkpoint:
             params = _load(args.checkpoint, params)
+        if args.w8:
+            from kosmosx_tpu.utils.quantize import quantize_params_w8
+            params = jax.jit(quantize_params_w8)(params)
         ids, _ = tok.tokenize_texts(args.prompt)
         if args.image:
             img = np.load(args.image)[None]
