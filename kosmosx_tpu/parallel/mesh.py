@@ -61,3 +61,33 @@ def make_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
     except Exception:
         dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
     return Mesh(dev_array, AXES)
+
+
+def make_hybrid_mesh(*, dcn_data: int = 1, data: int = -1, fsdp: int = 1,
+                     tensor: int = 1) -> Mesh:
+    """Multi-slice mesh: ``dcn_data`` replicas of a (data, fsdp, tensor)
+    slice mesh, with ONLY the leading data axis crossing the slice boundary
+    (gradient all-reduce rides DCN; param all-gather / tensor collectives
+    stay on ICI). The data axis of the returned mesh has size
+    ``dcn_data * data`` with DCN-major ordering — shardings written for
+    make_mesh work unchanged.
+
+    Single-slice (dcn_data=1) falls back to make_mesh, so code paths are
+    identical on one slice; multi-slice requires a multi-process runtime
+    (initialize_distributed).
+    """
+    if dcn_data <= 1:
+        return make_mesh(data=data, fsdp=fsdp, tensor=tensor)
+    from jax.experimental import mesh_utils
+
+    n = len(jax.devices())
+    per_slice = n // dcn_data
+    if data == -1:
+        assert per_slice % (fsdp * tensor) == 0, (per_slice, fsdp, tensor)
+        data = per_slice // (fsdp * tensor)
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        (data, fsdp, tensor), (dcn_data, 1, 1))
+    # fold the DCN replica axis into data: (dcn, data, fsdp, tensor) ->
+    # (dcn*data, fsdp, tensor)
+    dev_array = dev_array.reshape(dcn_data * data, fsdp, tensor)
+    return Mesh(dev_array, AXES)

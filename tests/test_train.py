@@ -198,3 +198,10 @@ def test_multimodal_batches_collate(devices):
     assert b["text_tokens"][0, 0] == tok.bos_token_id
     assert b["text_tokens"][0, 1] == tok.im_idx
     assert b["text_tokens"][0, 2] == tok.im_end_idx
+
+
+def test_hybrid_mesh_single_slice_fallback(devices):
+    from kosmosx_tpu.parallel.mesh import make_hybrid_mesh
+    mesh = make_hybrid_mesh(dcn_data=1, data=2, fsdp=2, tensor=2)
+    assert mesh.axis_names == ("data", "fsdp", "tensor")
+    assert mesh.devices.shape == (2, 2, 2)
