@@ -34,7 +34,7 @@ import time
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
-BATCH = 4
+BATCH = 6                # sweet spot on v5e (BASELINE.md batch sweep)
 TEXT_LEN = 1984          # + 64 image embeddings = 2048 decoder positions
 TIMED_CALLS = 6
 
@@ -114,70 +114,95 @@ def main():
     import jax
 
     global BATCH
-    fell_back = False
     try:
         tps, prefill_ms = _measure(main_cfg, "kosmosx_tpu bf16+flash")
     except jax.errors.JaxRuntimeError as e:  # HBM quota / tunnel variance only
         print(f"# batch {BATCH} failed ({type(e).__name__}); retrying batch 2",
               file=sys.stderr)
         BATCH = 2
-        fell_back = True
         tps, prefill_ms = _measure(main_cfg, "kosmosx_tpu bf16+flash b2")
 
     baseline_tps = None
-    if os.path.exists(BASELINE_FILE):
+    baseline_batch = None
+    if os.path.exists(BASELINE_FILE) and not os.environ.get(
+            "BENCH_REMEASURE_BASELINE"):
         with open(BASELINE_FILE) as f:
-            baseline_tps = json.load(f).get("naive_tokens_per_sec")
-    if baseline_tps is None or os.environ.get("BENCH_REMEASURE_BASELINE"):
-        naive_cfg = KosmosConfig(
-            decoder=MagnetoConfig(compute_dtype="float32", scan_layers=True,
-                                  dropout=0.0, attention_dropout=0.0,
-                                  use_flash_attention=False,
-                                  max_positions=8194),
-            vision=VisionConfig(compute_dtype="float32",
-                                use_flash_attention=False),
-            resampler=ResamplerConfig(compute_dtype="float32"),
-        )
-        try:
-            baseline_tps, _ = _measure(naive_cfg, "naive fp32 no-flash")
-            note = ("fp32, jnp attention, same model/shapes; "
-                    "the direct-translation baseline")
-        except Exception as e:  # e.g. OOM at fp32 on one chip
-            print(f"# fp32 baseline failed ({e}); trying bf16 no-flash",
-                  file=sys.stderr)
-            naive_cfg = dataclasses.replace(
-                naive_cfg,
-                decoder=dataclasses.replace(naive_cfg.decoder,
-                                            compute_dtype="bfloat16"),
-                vision=dataclasses.replace(naive_cfg.vision,
-                                           compute_dtype="bfloat16"),
-                resampler=dataclasses.replace(naive_cfg.resampler,
-                                              compute_dtype="bfloat16"))
+            cached = json.load(f)
+        baseline_tps = cached.get("naive_tokens_per_sec")
+        baseline_batch = cached.get("batch")
+    if baseline_tps is None:
+        # each naive variant runs in a FRESH subprocess: a RESOURCE_EXHAUSTED
+        # wedges the tunnel for the rest of the process, so an in-process
+        # fallback chain never recovers (observed: the bf16 retry after an
+        # fp32 OOM fails spuriously)
+        import subprocess
+
+        variants = [("float32", BATCH), ("bfloat16", BATCH)]
+        if BATCH != 4:
+            variants.append(("bfloat16", 4))  # last resort: known-fitting
+        for dtype, nb in variants:
             try:
-                baseline_tps, _ = _measure(naive_cfg, "naive bf16 no-flash")
-                note = "bf16, jnp attention (fp32 baseline OOMed)"
-            except Exception as e2:
-                print(f"# naive baseline failed: {e2}", file=sys.stderr)
-                baseline_tps = None
-                note = None
-        if baseline_tps is not None:
-            with open(BASELINE_FILE, "w") as f:
-                json.dump({"naive_tokens_per_sec": baseline_tps,
-                           "note": note}, f)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--naive-probe", dtype, str(nb)],
+                    capture_output=True, text=True, timeout=1800)
+                for line in out.stdout.splitlines():
+                    if line.startswith("NAIVE "):
+                        baseline_tps = float(line.split()[1])
+                        baseline_batch = nb
+                        break
+                if baseline_tps is None and out.stderr:
+                    tail = "\n# ".join(out.stderr.strip().splitlines()[-3:])
+                    print(f"# naive {dtype} b{nb} rc={out.returncode} "
+                          f"stderr tail:\n# {tail}", file=sys.stderr)
+            except Exception as e:
+                print(f"# naive {dtype} b{nb} subprocess failed: {e}",
+                      file=sys.stderr)
+            if baseline_tps:
+                note = (f"{dtype}, jnp attention, same model/shapes; "
+                        f"the direct-translation baseline")
+                with open(BASELINE_FILE, "w") as f:
+                    json.dump({"naive_tokens_per_sec": baseline_tps,
+                               "batch": nb, "note": note}, f)
+                break
+            print(f"# naive {dtype} b{nb} did not produce a number",
+                  file=sys.stderr)
 
     result = {
         "metric": f"images+text tokens/sec/chip (24L/2048d multiway decoder, "
                   f"CLIP ViT-L/14 + resampler, bf16, seq 2048, batch {BATCH})",
         "value": round(tps, 1),
-        # the cached naive baseline was measured at batch 4; after a
-        # batch-2 fallback the ratio is not comparable — report null
+        # only compare like with like: the ratio is null when the baseline
+        # was (or had to be) measured at a different batch than the main run
         "vs_baseline": (round(tps / baseline_tps, 3)
-                        if baseline_tps and not fell_back else None),
+                        if baseline_tps and baseline_batch == BATCH else None),
         "unit": "tokens/sec/chip",
         "prefill_ms_per_batch": round(prefill_ms, 2),
     }
     print(json.dumps(result))
 
 
+def naive_probe(dtype: str, batch: int):
+    """Measure the naive (no-flash) baseline in this process and print
+    ``NAIVE <tps>``. Run via subprocess from main()."""
+    global BATCH
+    BATCH = batch
+    from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
+                                         ResamplerConfig, VisionConfig)
+
+    cfg = KosmosConfig(
+        decoder=MagnetoConfig(compute_dtype=dtype, scan_layers=True,
+                              dropout=0.0, attention_dropout=0.0,
+                              use_flash_attention=False, max_positions=8194),
+        vision=VisionConfig(compute_dtype=dtype, use_flash_attention=False),
+        resampler=ResamplerConfig(compute_dtype=dtype),
+    )
+    tps, _ = _measure(cfg, f"naive {dtype} no-flash b{batch}")
+    print(f"NAIVE {tps}")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 3 and sys.argv[1] == "--naive-probe":
+        naive_probe(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()

@@ -72,7 +72,7 @@ def audio_encoder(params, waveform, cfg: AudioConfig) -> jax.Array:
         b, t, c = x.shape
         t = (t // stride) * stride
         x = x[:, :t].reshape(b, t // stride, c * stride)
-        x = x @ layers.dense_weight(conv["w"], dtype) + conv["b"].astype(dtype)
+        x = layers.linear(conv, x, dtype=dtype)
         x = jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(dtype)
     x = layers.linear(params["in_proj"], x, dtype=dtype)
     x = layers.layer_norm(params["ln"], x)

@@ -179,9 +179,20 @@ class Trainer:
             spec = _get_by_path(pspecs, path)
             by_shape.setdefault((leaf.shape, str(leaf.dtype)), spec)
 
+        fsdp_size = int(self.mesh.shape.get("fsdp", 1))
+
         def opt_spec(leaf):
             key = (getattr(leaf, "shape", ()), str(getattr(leaf, "dtype", "")))
-            return by_shape.get(key, P())
+            if key in by_shape:
+                return by_shape[key]
+            # blockwise-int8 moments (train/quant.py): (nblocks, block) codes
+            # and (nblocks, 1) scales match no param shape; shard the block
+            # axis over fsdp so quantized state keeps ZeRO memory scaling
+            shape = key[0]
+            if (len(shape) == 2 and shape[0] > 1
+                    and shape[0] % fsdp_size == 0):
+                return P("fsdp", None)
+            return P()
 
         opt_specs = jax.tree_util.tree_map(opt_spec, abstract_state["opt_state"])
         return {"params": pspecs, "opt_state": opt_specs,
