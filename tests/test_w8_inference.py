@@ -84,3 +84,18 @@ def test_w8_generation_runs(devices):
     out = generate_text(params, CFG, prompt,
                         SamplingConfig(max_new_tokens=5, greedy=True))
     assert out.shape == (2, 5)
+
+
+def test_w8_checkpoint_roundtrip(devices, tmp_path):
+    """int8-quantized params survive an orbax save/restore bit-exactly."""
+    from kosmosx_tpu.train import checkpoint as ckpt
+
+    params = quantize_params_w8(
+        dec.init_decoder(jax.random.PRNGKey(0), CFG), min_size=512)
+    state = {"params": params, "step": jnp.array(3, jnp.int32)}
+    path = ckpt.save_checkpoint(state, str(tmp_path), 3)
+    restored = ckpt.restore_checkpoint(path, state)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state["params"], restored["params"])
