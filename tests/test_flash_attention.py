@@ -142,3 +142,49 @@ def test_fused_xpos_matches_external(devices):
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_configs_vs_oracle(devices, seed):
+    """Randomized shapes/blocks/segments/xpos vs the jnp oracle (fixed
+    seeds — deterministic 'fuzz')."""
+    import jax
+    from kosmosx_tpu.nn.xpos import apply_xpos
+
+    rng = np.random.RandomState(seed)
+    b = int(rng.choice([1, 2, 3]))
+    h = int(rng.choice([1, 2, 4]))
+    lq = int(rng.choice([128, 200, 384, 513]))
+    d = int(rng.choice([32, 64]))
+    block = int(rng.choice([128, 256]))
+    causal = bool(rng.rand() < 0.7)
+    use_seg = bool(rng.rand() < 0.5)
+    use_xpos = bool(rng.rand() < 0.5)
+
+    key = jax.random.PRNGKey(seed)
+    q = jax.random.normal(key, (b, h, lq, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, lq, d), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, lq, d), jnp.float32)
+    seg = None
+    if use_seg:
+        lengths = rng.randint(1, lq + 1, size=(b, 1))
+        seg = jnp.asarray(
+            np.where(np.arange(lq)[None] < lengths, 0, -1), jnp.int32)
+
+    with jax.default_matmul_precision("highest"):
+        out = flash_attention(
+            q, k, v, causal=causal, q_segment_ids=seg, kv_segment_ids=seg,
+            block_q=block, block_kv=block, interpret=True,
+            xpos_scale_base=512 if use_xpos else None)
+        qr, kr = q, k
+        if use_xpos:
+            qr = apply_xpos(q, scale_base=512, downscale=False, center=lq // 2)
+            kr = apply_xpos(k, scale_base=512, downscale=True, center=lq // 2)
+        ref = mha_reference(qr, kr, v, causal=causal,
+                            q_segment_ids=seg, kv_segment_ids=seg)
+    valid = np.ones((b, 1, lq, 1), bool)
+    if use_seg:
+        valid = np.asarray(seg)[:, None, :, None] == 0
+    err = np.abs(np.asarray(out) - np.asarray(ref)) * valid
+    assert err.max() < 5e-4, (err.max(), b, h, lq, d, block, causal,
+                              use_seg, use_xpos)
