@@ -68,6 +68,20 @@ def splice_plan(positions: jax.Array, text_len: int, num_images: int,
     return gather_idx, is_image
 
 
+def _default_positions(b: int, m: int, index: int, text_len: int) -> jax.Array:
+    """Default multi-image anchor positions: back-to-back tag pairs in TEXT
+    coordinates — [BOS, <image>, </image>, <image>, </image>, ...] puts the
+    m-th <image> token at text position index-1 + 2m. (Positions are text
+    coordinates; splice_plan handles the output-coordinate shifts.)"""
+    last = index - 1 + 2 * (m - 1)
+    if last >= text_len:
+        raise ValueError(
+            f"{m} default image positions (last at text index {last}) do not "
+            f"fit a length-{text_len} text; pass explicit `image_positions`")
+    return jnp.broadcast_to(
+        index - 1 + 2 * jnp.arange(m)[None], (b, m)).astype(jnp.int32)
+
+
 def splice_embeddings(text_emb: jax.Array, image_emb: jax.Array,
                       positions: Optional[jax.Array] = None,
                       index: int = 2) -> jax.Array:
@@ -77,13 +91,11 @@ def splice_embeddings(text_emb: jax.Array, image_emb: jax.Array,
     if image_emb.ndim == 3:
         image_emb = image_emb[:, None]
     b, m, k, d = image_emb.shape
+    lt = text_emb.shape[1]
     if positions is None:
         if m == 1:
             return splice_single(text_emb, image_emb[:, 0], index)
-        # default layout: blocks at index, index+1+K, ... (back-to-back tags)
-        positions = jnp.broadcast_to(
-            index - 1 + jnp.arange(m)[None] * (k + 1), (b, m)).astype(jnp.int32)
-    lt = text_emb.shape[1]
+        positions = _default_positions(b, m, index, lt)
     gather_idx, _ = splice_plan(positions.astype(jnp.int32), lt, m, k)
     src = jnp.concatenate(
         [text_emb, image_emb.astype(text_emb.dtype).reshape(b, m * k, d)], axis=1)
@@ -100,9 +112,7 @@ def spliced_segment_ids(tokens: jax.Array, padding_idx: int,
     b, lt = tokens.shape
     text_valid = (tokens != padding_idx)
     if positions is None:
-        positions = jnp.broadcast_to(
-            index - 1 + jnp.arange(num_images)[None] * (block + 1),
-            (b, num_images)).astype(jnp.int32)
+        positions = _default_positions(b, num_images, index, lt)
     gather_idx, is_image = splice_plan(positions, lt, num_images, block)
     src = jnp.concatenate(
         [text_valid, jnp.ones((b, num_images * block), bool)], axis=1)

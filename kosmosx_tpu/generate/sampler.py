@@ -156,7 +156,7 @@ def _generate_mm_jit(params, text_tokens, images, prompt_lengths, rng,
     k = kcfg.image_embed_len
 
     img = Kosmos.encode_images(params, images, kcfg)
-    _, text_emb = dec.forward_embedding(params["decoder"], dcfg, text_tokens)
+    text_emb = dec.embed_only(params["decoder"], dcfg, text_tokens)
     spliced = splice_embeddings(text_emb, img, None, index=kcfg.splice_index)
     if kcfg.parity_double_scale:
         x, _ = dec.forward_embedding(params["decoder"], dcfg,

@@ -213,8 +213,7 @@ class KosmosAny:
             self._ensure_encoder(modality)
             blocks.append(self._encoders[modality](self.params, processed))
 
-        _, text_emb = dec.forward_embedding(self.params["decoder"], dcfg,
-                                            text_tokens)
+        text_emb = dec.embed_only(self.params["decoder"], dcfg, text_tokens)
         if blocks:
             mediacat = jnp.concatenate(blocks, axis=1).astype(text_emb.dtype)
             spliced = jnp.concatenate(

@@ -112,7 +112,7 @@ class KosmosConditional:
             blocks.append(layers.linear(params["video_proj"], vfeat[:, None],
                                         dtype=dcfg.dtype))
 
-        _, text_emb = dec.forward_embedding(params["decoder"], dcfg, text_tokens)
+        text_emb = dec.embed_only(params["decoder"], dcfg, text_tokens)
         if blocks:
             media = jnp.concatenate(blocks, axis=1)
             spliced = jnp.concatenate(

@@ -101,7 +101,7 @@ class Kosmos:
         num_images = img.shape[1] if img.ndim == 4 else 1
 
         # EMBED: position-free scaled text embedding (forward_embedding()[1])
-        _, text_emb = dec.forward_embedding(params["decoder"], dcfg, text_tokens)
+        text_emb = dec.embed_only(params["decoder"], dcfg, text_tokens)
         # SPLICE at [0:2] (after BOS + <image>)
         spliced = splice_embeddings(text_emb, img, image_positions,
                                     index=cfg.splice_index)
@@ -130,9 +130,8 @@ class Kosmos:
     # -- torch-like convenience --------------------------------------------
     def __call__(self, text_tokens, images, **kw):
         if self._jit is None:
-            self._jit = functools.partial(
-                jax.jit(Kosmos.apply, static_argnames=(
-                    "cfg", "use_padding_mask", "interpret")))
+            self._jit = jax.jit(Kosmos.apply, static_argnames=(
+                "cfg", "use_padding_mask", "interpret"))
         return self._jit(self.params, jnp.asarray(text_tokens),
                          jnp.asarray(images), self.config, **kw)
 

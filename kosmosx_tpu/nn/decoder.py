@@ -187,6 +187,14 @@ def init_decoder(key, cfg: MagnetoConfig, *, with_embeddings: bool = True):
     return params
 
 
+def embed_only(params, cfg: MagnetoConfig, tokens) -> jax.Array:
+    """Position-free scaled token embedding (forward_embedding()[1] without
+    computing and discarding the positional add — the splice callers only
+    need this half)."""
+    return cfg.embed_scale * layers.embedding(params["embed"], tokens,
+                                              dtype=cfg.dtype)
+
+
 def forward_embedding(params, cfg: MagnetoConfig, tokens=None, *,
                       token_embedding=None, offset=0,
                       rng: Optional[jax.Array] = None

@@ -43,12 +43,16 @@ def _path_names(path) -> Tuple[str, ...]:
 
 
 def _spec_for(names: Tuple, leaf) -> P:
-    strs = [n for n in names if isinstance(n, str)]
+    # multiway expert keys are transparent for rule matching: the parent of
+    # attn/out/A/w is "out", not "A" (otherwise the row-parallel rules would
+    # silently miss every multiway projection — the flagship default)
+    strs = [n for n in names if isinstance(n, str) and n not in ("A", "B")]
     last = strs[-1] if strs else ""
     parent = strs[-2] if len(strs) >= 2 else ""
     nd = getattr(leaf, "ndim", 0)
 
-    # embeddings: (vocab/positions, model_dim)
+    # embeddings: (vocab/positions, model_dim) — vocab over fsdp, model dim
+    # over tensor (matches the out-projection orientation below)
     if last == "table":
         if "pos" in strs or "pos_embed" in strs or "media_pos_emb" in strs:
             return P()  # small tables: replicate
@@ -58,20 +62,18 @@ def _spec_for(names: Tuple, leaf) -> P:
     # LayerNorm params
     if last in ("scale", "bias") or "ln" in parent or parent.endswith("norm") \
             or parent.startswith("norm"):
-        # ffn_ln normalizes the tensor-sharded ffn axis; keep aligned
-        if parent == "ffn_ln" and last == "scale":
-            return P("tensor")
         if parent == "ffn_ln":
+            # ffn_ln normalizes the tensor-sharded ffn axis; keep aligned
             return P("tensor")
         return P()
     if last == "w" and nd == 2:
-        # row-parallel halves: attention out-proj, ffn fc2
-        if parent in ("out", "fc2", "to_out"):
+        # row-parallel halves: attention out-proj, ffn fc2 (XLA inserts the
+        # psum); out_proj (embed_dim, vocab) puts model dim on tensor and
+        # vocab on fsdp, mirroring the embedding table
+        if parent in ("out", "fc2", "to_out", "out_proj"):
             return P("tensor", "fsdp")
-        # column-parallel: q/k/v, fc1, to_q/to_kv, generic projections
-        if parent in ("q", "k", "v", "fc1", "to_q", "to_kv", "out_proj",
-                      "image_proj", "patch_embed", "mlp"):
-            return P("fsdp", "tensor")
+        # everything else (q/k/v, fc1, to_q/to_kv, image_proj, patch_embed,
+        # mlp, ...): column-parallel — in dim over fsdp, out dim over tensor
         return P("fsdp", "tensor")
     if last == "b" and nd == 1:
         if parent in ("out", "fc2", "to_out"):
@@ -107,7 +109,9 @@ def param_specs(params) -> Any:
 
 def batch_spec(ndim: int = 2) -> P:
     """Batches shard over both data axes (ZeRO: every fsdp shard-holder is a
-    data worker)."""
+    data worker). Scalars replicate."""
+    if ndim == 0:
+        return P()
     return P(("data", "fsdp"), *([None] * (ndim - 1)))
 
 
@@ -120,4 +124,4 @@ def shard_params(params, mesh: Mesh, specs=None):
 def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
-            x, NamedSharding(mesh, batch_spec(getattr(x, "ndim", 1)))), batch)
+            x, NamedSharding(mesh, batch_spec(getattr(x, "ndim", 0)))), batch)

@@ -35,26 +35,33 @@ def next_token_loss(logits: jax.Array, labels: jax.Array,
     logz = jax.scipy.special.logsumexp(logits, axis=-1)
     true_logit = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
     nll = logz - true_logit
-    if z_loss > 0.0:
-        nll = nll + z_loss * jnp.square(logz)
     denom = jnp.maximum(jnp.sum(mask), 1.0)
-    loss = jnp.sum(nll * mask) / denom
+    ce = jnp.sum(nll * mask) / denom        # pure cross-entropy, for metrics
+    loss = ce
+    if z_loss > 0.0:
+        loss = loss + z_loss * jnp.sum(jnp.square(logz) * mask) / denom
 
     acc = jnp.sum((jnp.argmax(logits, -1) == targets) * mask) / denom
-    return loss, {"loss": loss, "accuracy": acc,
-                  "tokens": jnp.sum(mask), "perplexity": jnp.exp(loss)}
+    return loss, {"loss": loss, "cross_entropy": ce, "accuracy": acc,
+                  "tokens": jnp.sum(mask), "perplexity": jnp.exp(ce)}
 
 
 def multimodal_next_token_loss(logits: jax.Array, text_tokens: jax.Array,
                                image_embed_len: int, splice_index: int = 2,
                                pad_id: int = 1, *, z_loss: float = 0.0):
-    """Loss for Kosmos spliced sequences: logits cover
-    [tok0, tok1, K image positions, tok2, ...]; only text-token positions
-    carry label targets. We drop the image block from the logits and compute
-    next-token CE on the text stream (labels = the raw text tokens, the
-    reference's ``labels`` field at /root/reference/kosmosx/model.py:123)."""
+    """Loss for Kosmos spliced sequences (single image block, the reference
+    layout): logits cover [tok0, ..., tok_{s-1}, K image positions, tok_s,
+    ...]; only text tokens carry label targets.
+
+    Boundary alignment: label tok_s sits at SPLICED position s+k, so its
+    predictor is spliced position s+k-1 (the LAST image slot) — while spliced
+    position s-1 (the <image> token) predicts an image embedding and gets no
+    supervision. Hence we drop logits[s-1 : s+k-1], keeping exactly the
+    positions whose successor is a text token (labels = the raw text tokens,
+    the reference's ``labels`` field, /root/reference/kosmosx/model.py:123).
+    """
     k, s = image_embed_len, splice_index
     text_logits = jnp.concatenate(
-        [logits[:, :s], logits[:, s + k:]], axis=1)  # (B, L_text, V)
+        [logits[:, :s - 1], logits[:, s + k - 1:]], axis=1)  # (B, L_text, V)
     mask = (text_tokens != pad_id)
     return next_token_loss(text_logits, text_tokens, mask, z_loss=z_loss)

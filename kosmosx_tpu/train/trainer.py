@@ -209,10 +209,8 @@ class Trainer:
         return self._step_fn
 
     def shard_batch(self, batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, NamedSharding(self.mesh, batch_spec(getattr(x, "ndim", 1)))),
-            batch)
+        from kosmosx_tpu.parallel.sharding import shard_batch
+        return shard_batch(batch, self.mesh)
 
     # -- loop ----------------------------------------------------------------
     def run(self, batches: Iterable[Dict[str, Any]],

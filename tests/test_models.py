@@ -139,3 +139,21 @@ def test_kosmos_padding_mask_isolates_pad(kosmos):
     n_real = 6 + 8
     np.testing.assert_allclose(np.asarray(out_p[:, :n_real]),
                                np.asarray(out_r), atol=1e-4, rtol=1e-4)
+
+
+def test_multi_image_default_positions_layout(devices):
+    """Default multi-image splice: blocks follow back-to-back tag pairs in
+    text coordinates (regression: (k+1)-spaced defaults scattered out of
+    bounds and silently dropped an image)."""
+    import jax
+    from kosmosx_tpu.data.splice import splice_embeddings
+
+    b, lt, d, m, k = 1, 8, 4, 2, 3
+    text = jnp.arange(lt, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 1, d))
+    imgs = 100.0 + jnp.arange(m * k, dtype=jnp.float32).reshape(1, m, k, 1) \
+        * jnp.ones((1, 1, 1, d))
+    out = np.asarray(splice_embeddings(text, imgs))[0, :, 0]
+    # default anchors (index=2): after text pos 1 and text pos 3
+    # [t0, t1, I0 I1 I2, t2, t3, I3 I4 I5, t4..t7]
+    expect = [0, 1, 100, 101, 102, 2, 3, 103, 104, 105, 4, 5, 6, 7]
+    np.testing.assert_allclose(out, expect)

@@ -205,3 +205,22 @@ def test_hybrid_mesh_single_slice_fallback(devices):
     mesh = make_hybrid_mesh(dcn_data=1, data=2, fsdp=2, tensor=2)
     assert mesh.axis_names == ("data", "fsdp", "tensor")
     assert mesh.devices.shape == (2, 2, 2)
+
+
+def test_multimodal_loss_boundary_alignment(devices):
+    """The predictor of the first post-image token must be the LAST image
+    slot, not the <image> token (regression: off-by-one dropped the wrong
+    logit block)."""
+    from kosmosx_tpu.train.loss import multimodal_next_token_loss
+
+    v, s, k = 16, 2, 3
+    text = jnp.array([[4, 5, 6, 7]], jnp.int32)       # [t0 t1 t2 t3]
+    # spliced layout: [t0, t1, I, I, I, t2, t3] -> Lout = 7
+    # correct predictors for labels [t1, t2, t3] = spliced positions [0, 4, 5]
+    logits = jnp.full((1, 7, v), -10.0)
+    logits = logits.at[0, 0, 5].set(10.0)   # pos 0 predicts t1=5
+    logits = logits.at[0, 4, 6].set(10.0)   # pos 4 (last image) predicts t2=6
+    logits = logits.at[0, 5, 7].set(10.0)   # pos 5 (t2) predicts t3=7
+    loss, m = multimodal_next_token_loss(logits, text, k, s, pad_id=1)
+    assert float(m["accuracy"]) == 1.0
+    assert float(loss) < 0.01
