@@ -141,9 +141,19 @@ class KosmosTokenizer:
         if self.hf is not None:
             self.hf.add_tokens(tags)
             self._tag_ids = {t: self.hf.convert_tokens_to_ids(t) for t in tags}
-            self.pad_token_id = self.hf.pad_token_id or 1
-            self.bos_token_id = getattr(self.hf, "bos_token_id", 0) or 0
-            self.eos_token_id = getattr(self.hf, "eos_token_id", 2) or 2
+            # explicit None checks: GPT-NeoX's eos is id 0, which a falsy
+            # `or`-fallback would silently remap; tokenizers without a pad
+            # token (NeoX again) get eos as pad so padding=True works
+            if self.hf.pad_token_id is None:
+                if self.hf.eos_token is not None:
+                    self.hf.pad_token = self.hf.eos_token
+                else:
+                    self.hf.add_special_tokens({"pad_token": "<|pad|>"})
+            self.pad_token_id = self.hf.pad_token_id
+            bos = getattr(self.hf, "bos_token_id", None)
+            self.bos_token_id = bos if bos is not None else 0
+            eos = getattr(self.hf, "eos_token_id", None)
+            self.eos_token_id = eos if eos is not None else 2
             self.vocab_size = len(self.hf)
         else:
             self.byte = ByteTokenizer(tags)

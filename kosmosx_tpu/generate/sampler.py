@@ -67,11 +67,12 @@ def sample_logits(logits: jax.Array, rng: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _prefill(params, cfg: MagnetoConfig, x, caches, prompt_lengths,
-             segment_ids):
+             segment_ids, interpret: bool = False):
     """Run the embedded prompt through the stack, writing KV caches."""
     idx0 = jnp.zeros_like(prompt_lengths)
     h, caches = dec.run_layers(params, x, cfg, segment_ids=segment_ids,
-                               caches=caches, cache_index=idx0)
+                               caches=caches, cache_index=idx0, prefill=True,
+                               interpret=interpret)
     logits = dec.output_logits(params, h, cfg)
     # last real position per batch row
     last = jnp.take_along_axis(
@@ -80,14 +81,25 @@ def _prefill(params, cfg: MagnetoConfig, x, caches, prompt_lengths,
 
 
 def _decode_scan(params, cfg: MagnetoConfig, first_tokens, caches,
-                 start_index, scfg: SamplingConfig, rng):
-    """lax.scan decode loop: one step per new token."""
+                 start_index, scfg: SamplingConfig, rng,
+                 double_scale: bool = False):
+    """lax.scan decode loop: one step per new token.
+
+    ``double_scale``: embed each step like a parity-mode Kosmos training
+    forward (embed_scale applied twice, SURVEY.md §2.6.1) — otherwise decode
+    tokens would arrive ~sqrt(d)x smaller than anything seen in training.
+    """
     b = first_tokens.shape[0]
 
     def step(carry, step_rng):
         tokens, caches, index, done = carry
-        x, _ = dec.forward_embedding(params, cfg, tokens[:, None],
-                                     offset=index[:, None])
+        if double_scale:
+            emb = dec.embed_only(params, cfg, tokens[:, None])
+            x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
+                                         offset=index[:, None])
+        else:
+            x, _ = dec.forward_embedding(params, cfg, tokens[:, None],
+                                         offset=index[:, None])
         h, caches = dec.run_layers(params, x, cfg, caches=caches,
                                    cache_index=index)
         logits = dec.output_logits(params, h, cfg)[:, 0]
@@ -97,22 +109,26 @@ def _decode_scan(params, cfg: MagnetoConfig, first_tokens, caches,
             done = done | (nxt == scfg.eos_id)
         return (nxt, caches, index + 1, done), nxt
 
-    done0 = jnp.zeros((b,), bool)
+    done0 = (first_tokens == scfg.eos_id if scfg.eos_id is not None
+             else jnp.zeros((b,), bool))
     rngs = jax.random.split(rng, scfg.max_new_tokens)
     (_, caches, _, _), toks = jax.lax.scan(
         step, (first_tokens, caches, start_index, done0), rngs)
     return jnp.swapaxes(toks, 0, 1), caches  # (B, T)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "max_len"))
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "max_len",
+                                              "interpret"))
 def _generate_text_jit(params, prompt, prompt_lengths, rng,
-                       cfg: MagnetoConfig, scfg: SamplingConfig, max_len: int):
+                       cfg: MagnetoConfig, scfg: SamplingConfig, max_len: int,
+                       interpret: bool = False):
     b, lp = prompt.shape
     caches = dec.init_cache(cfg, batch=b, max_len=max_len)
     seg = jnp.where(jnp.arange(lp)[None, :] < prompt_lengths[:, None], 0, -1
                     ).astype(jnp.int32)
     x, _ = dec.forward_embedding(params, cfg, prompt)
-    last_logits, caches = _prefill(params, cfg, x, caches, prompt_lengths, seg)
+    last_logits, caches = _prefill(params, cfg, x, caches, prompt_lengths, seg,
+                                   interpret=interpret)
     rng, r0 = jax.random.split(rng)
     first = sample_logits(last_logits, r0, scfg)
     out, _ = _decode_scan(params, cfg, first, caches, prompt_lengths, scfg, rng)
@@ -122,7 +138,8 @@ def _generate_text_jit(params, prompt, prompt_lengths, rng,
 def generate_text(params, cfg: MagnetoConfig, prompt: jax.Array,
                   sampling: Optional[SamplingConfig] = None,
                   prompt_lengths: Optional[jax.Array] = None,
-                  rng: Optional[jax.Array] = None) -> jax.Array:
+                  rng: Optional[jax.Array] = None,
+                  interpret: bool = False) -> jax.Array:
     """prompt (B, Lp) -> generated ids (B, max_new_tokens)."""
     sampling = sampling or SamplingConfig()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -139,7 +156,7 @@ def generate_text(params, cfg: MagnetoConfig, prompt: jax.Array,
             f"(max usable length {cfg.max_target_positions}); raise "
             f"max_positions")
     return _generate_text_jit(params, prompt, prompt_lengths, rng, cfg,
-                              sampling, max_len)
+                              sampling, max_len, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -156,6 +173,7 @@ def _generate_mm_jit(params, text_tokens, images, prompt_lengths, rng,
     k = kcfg.image_embed_len
 
     img = Kosmos.encode_images(params, images, kcfg)
+    num_images = img.shape[1] if img.ndim == 4 else 1
     text_emb = dec.embed_only(params["decoder"], dcfg, text_tokens)
     spliced = splice_embeddings(text_emb, img, None, index=kcfg.splice_index)
     if kcfg.parity_double_scale:
@@ -168,7 +186,8 @@ def _generate_mm_jit(params, text_tokens, images, prompt_lengths, rng,
         x = spliced + pos
 
     lp = spliced.shape[1]
-    full_lengths = prompt_lengths + k  # image block counts as prompt
+    # ALL image blocks count as prompt (the spliced length is lt + M*k)
+    full_lengths = prompt_lengths + num_images * k
     seg = jnp.where(jnp.arange(lp)[None, :] < full_lengths[:, None], 0, -1
                     ).astype(jnp.int32)
     caches = dec.init_cache(dcfg, batch=b, max_len=max_len)
@@ -176,8 +195,10 @@ def _generate_mm_jit(params, text_tokens, images, prompt_lengths, rng,
                                    full_lengths, seg)
     rng, r0 = jax.random.split(rng)
     first = sample_logits(last_logits, r0, scfg)
+    # decode embeds must match the training-forward scale arithmetic
     out, _ = _decode_scan(params["decoder"], dcfg, first, caches,
-                          full_lengths, scfg, rng)
+                          full_lengths, scfg, rng,
+                          double_scale=kcfg.parity_double_scale)
     return jnp.concatenate([first[:, None], out[:, :-1]], axis=1)
 
 

@@ -118,6 +118,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                    rng: Optional[jax.Array] = None,
                    cache: Optional[Dict[str, jax.Array]] = None,
                    cache_index: Optional[jax.Array] = None,
+                   prefill: bool = False,
                    dtype=None,
                    interpret: bool = False,
                    ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
@@ -198,8 +199,20 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
         v_cache = v_cache.at[b_idx, :, pos, :].set(jnp.swapaxes(v, 1, 2))
         new_cache = {"k": k_cache, "v": v_cache}
         kv_len = idx + l
-        o = _jnp_attention(q, k_cache, v_cache, causal=causal, kv_len=kv_len,
-                           attn_dropout=0.0, rng=None, q_offset=idx)
+        if prefill and use_flash and l >= _FLASH_MIN_LEN:
+            # prefill writes at index 0 (caller's contract): attention over
+            # the cache == causal attention over the chunk itself, so the
+            # Pallas kernel runs instead of materializing fp32 (L, Lmax)
+            # scores per layer (xPos already applied above, center 0)
+            o = flash_attention(q, k, v, causal=True, sm_scale=1.0,
+                                q_segment_ids=segment_ids,
+                                kv_segment_ids=segment_ids,
+                                block_q=flash_block_q, block_kv=flash_block_kv,
+                                interpret=interpret)
+        else:
+            o = _jnp_attention(q, k_cache, v_cache, causal=causal,
+                               kv_len=kv_len, attn_dropout=0.0, rng=None,
+                               q_offset=idx)
         o = o.astype(x.dtype)
 
     o = _merge_heads(o)

@@ -31,7 +31,13 @@ def init_audio_encoder(key, cfg: AudioConfig) -> Dict[str, Any]:
     convs = []
     in_ch = 1
     # framed-matmul "convs": each stage folds `stride` samples into channels
-    strides = (8, 4, 2)[:len(cfg.conv_widths)]
+    strides = (8, 4, 2)
+    if len(cfg.conv_widths) > len(strides):
+        raise ValueError(
+            f"conv_widths has {len(cfg.conv_widths)} stages but only "
+            f"{len(strides)} framing strides are defined; extra stages "
+            f"would be silently dropped")
+    strides = strides[:len(cfg.conv_widths)]
     for i, (width, stride) in enumerate(zip(cfg.conv_widths, strides)):
         convs.append({
             "w": init.xavier_uniform(keys[i], (in_ch * stride, width)),
@@ -77,23 +83,14 @@ def audio_encoder(params, waveform, cfg: AudioConfig) -> jax.Array:
     x = layers.linear(params["in_proj"], x, dtype=dtype)
     x = layers.layer_norm(params["ln"], x)
 
-    heads = cfg.heads
-    hd = cfg.hidden_dim // heads
+    from kosmosx_tpu.nn.attention import self_attention
+
     for lp in params["layers"]:
         h = layers.layer_norm(lp["ln1"], x)
-        q = layers.linear(lp["attn"]["q"], h, dtype=dtype) * (hd ** -0.5)
-        k = layers.linear(lp["attn"]["k"], h, dtype=dtype)
-        v = layers.linear(lp["attn"]["v"], h, dtype=dtype)
-        b, l, d = h.shape
-        q = q.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, heads, hd).transpose(0, 2, 1, 3)
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                       preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, l, d)
-        x = x + layers.linear(lp["attn"]["out"], o, dtype=dtype)
+        o, _ = self_attention(lp["attn"], h, heads=cfg.heads, subln=False,
+                              multiway=False, causal=False, xpos=False,
+                              use_flash=False, dtype=dtype)
+        x = x + o
         h = layers.layer_norm(lp["ln2"], x)
         h = layers.linear(lp["mlp"]["fc1"], h, dtype=dtype)
         h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dtype)

@@ -128,6 +128,7 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
                   rng: Optional[jax.Array] = None,
                   cache: Optional[Dict[str, jax.Array]] = None,
                   cache_index: Optional[jax.Array] = None,
+                  prefill: bool = False,
                   interpret: bool = False):
     dtype = cfg.dtype
     rngs = list(jax.random.split(rng, 3)) if rng is not None else [None, None, None]
@@ -142,7 +143,7 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         flash_block_q=cfg.flash_block_q, flash_block_kv=cfg.flash_block_kv,
         segment_ids=segment_ids, attn_dropout=cfg.attention_dropout,
         rng=rngs[0], cache=cache, cache_index=cache_index,
-        dtype=dtype, interpret=interpret)
+        prefill=prefill, dtype=dtype, interpret=interpret)
     if rngs[1] is not None and cfg.dropout > 0.0:
         h = layers.dropout(h, cfg.dropout, rngs[1])
     x = residual + h
@@ -229,13 +230,14 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                rng: Optional[jax.Array] = None,
                caches: Optional[Any] = None,
                cache_index: Optional[jax.Array] = None,
+               prefill: bool = False,
                interpret: bool = False):
     """Run the layer stack + final LN. Returns (hidden, new_caches)."""
 
     def one_layer(lp, xx, lrng, lcache):
         return decoder_layer(lp, xx, cfg, split=split, segment_ids=segment_ids,
                              rng=lrng, cache=lcache, cache_index=cache_index,
-                             interpret=interpret)
+                             prefill=prefill, interpret=interpret)
 
     if cfg.remat:
         policies = {

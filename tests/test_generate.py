@@ -144,3 +144,20 @@ def test_sharded_generation_matches_unsharded(devices):
         sharded = shard_params(params, mesh)
         out = np.asarray(generate_text(sharded, CFG, prompt, scfg))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_flash_prefill_matches_jnp_prefill(lm_params):
+    """Generation with a flash-eligible prompt (>=256 tokens) through the
+    Pallas prefill path == the plain-jnp prefill path."""
+    import dataclasses
+    cfg_flash = dataclasses.replace(CFG, use_flash_attention=True,
+                                    max_positions=512,
+                                    flash_block_q=128, flash_block_kv=128)
+    cfg_jnp = dataclasses.replace(cfg_flash, use_flash_attention=False)
+    params = dec.init_decoder(jax.random.PRNGKey(9), cfg_flash)
+    prompt = jax.random.randint(jax.random.PRNGKey(10), (2, 300), 4,
+                                CFG.vocab_size)
+    scfg = SamplingConfig(max_new_tokens=4, greedy=True)
+    out_flash = generate_text(params, cfg_flash, prompt, scfg, interpret=True)
+    out_jnp = generate_text(params, cfg_jnp, prompt, scfg)
+    np.testing.assert_array_equal(np.asarray(out_flash), np.asarray(out_jnp))
