@@ -12,8 +12,11 @@ Prints one JSON line {"metric": "decode tokens/sec/chip", ...}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,

@@ -224,6 +224,44 @@ def forward_embedding(params, cfg: MagnetoConfig, tokens=None, *,
     return x, embed
 
 
+def _extract_stacked_w8(tree):
+    """Split stacked layer params into (scan_xs, slots): every stacked
+    W8-quantized weight ``{"q": (L, K, N) int8, "scale": (L, 1, N)}`` is
+    pulled out of the tree (replaced by None, a leafless pytree that scans
+    through unchanged) and recorded in ``slots`` by its path."""
+    slots = {}
+
+    def rec(t, path):
+        if isinstance(t, dict):
+            if ("q" in t and "scale" in t
+                    and getattr(t["q"], "ndim", 0) >= 3
+                    and t["q"].dtype == jnp.int8):
+                slots[path] = t
+                return None
+            return {k: rec(v, path + (k,)) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(rec(v, path + (i,)) for i, v in enumerate(t))
+        return t
+
+    return rec(tree, ()), slots
+
+
+def _graft_stacked_w8(t, slots, li, path=()):
+    """Re-insert the stacked W8 arrays plus the scan layer index where
+    :func:`_extract_stacked_w8` removed them. nn/layers.linear recognizes the
+    ``{"q", "scale", "layer"}`` marker and indexes inside the kernel."""
+    if path in slots:
+        s = slots[path]
+        return {"q": s["q"], "scale": s["scale"], "layer": li}
+    if isinstance(t, dict):
+        return {k: _graft_stacked_w8(v, slots, li, path + (k,))
+                for k, v in t.items()}
+    if isinstance(t, (list, tuple)):
+        return type(t)(_graft_stacked_w8(v, slots, li, path + (i,))
+                       for i, v in enumerate(t))
+    return t
+
+
 def run_layers(params, x, cfg: MagnetoConfig, *,
                split: Optional[int] = None,
                segment_ids: Optional[jax.Array] = None,
@@ -258,13 +296,26 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
         # one body covers all rng/cache combinations with a single trace.
         rngs = jax.random.split(rng, cfg.layers) if rng is not None else None
 
+        # W8-quantized stacked weights stay OUT of the scan xs: a scanned
+        # (L, K, N) int8 leaf would be dynamic-sliced into a fresh HBM copy
+        # every layer step (pallas_call can't fuse the slice the way XLA's
+        # own matmul does — measured 924 vs 1124 tok/s on flagship decode).
+        # Instead the full array + the layer index are grafted back into the
+        # layer's param tree and nn/layers.linear routes them through the
+        # scalar-prefetch kernel (ops/quant_matmul.w8_matmul_stacked).
+        scan_xs, w8_slots = _extract_stacked_w8(params["layers"])
+        layer_ids = (jnp.arange(cfg.layers, dtype=jnp.int32) if w8_slots
+                     else None)
+
         if caches is None:
             def body(xx, sc):
-                lp, lrng = sc
+                lp, lrng, li = sc
+                if w8_slots:
+                    lp = _graft_stacked_w8(lp, w8_slots, li)
                 y, _ = one_layer(lp, xx, lrng, None)
                 return y, None
 
-            x, _ = jax.lax.scan(body, x, (params["layers"], rngs))
+            x, _ = jax.lax.scan(body, x, (scan_xs, rngs, layer_ids))
             new_caches = None
         else:
             # Carry the stacked (layers, ...) cache and update each layer's
@@ -274,6 +325,8 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
             def body(carry, sc):
                 xx, cache_all = carry
                 li, lp, lrng = sc
+                if w8_slots:
+                    lp = _graft_stacked_w8(lp, w8_slots, li)
                 lcache = jax.tree_util.tree_map(
                     lambda c: jax.lax.dynamic_index_in_dim(c, li, 0,
                                                            keepdims=False),
@@ -287,7 +340,7 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
 
             (x, new_caches), _ = jax.lax.scan(
                 body, (x, caches),
-                (jnp.arange(cfg.layers), params["layers"], rngs))
+                (jnp.arange(cfg.layers), scan_xs, rngs))
     else:
         new_caches = [] if caches is not None else None
         rngs = (jax.random.split(rng, cfg.layers) if rng is not None else

@@ -32,6 +32,29 @@ def init_linear(key, in_dim: int, out_dim: int, *, bias: bool = True,
     return params
 
 
+# W8 matmul-kernel switch: "auto" uses the Pallas int8-weight kernel on a
+# real TPU backend (single-chip decode, where it recovers the HBM bandwidth
+# the XLA dequant-in-matmul path loses) and the exact-math XLA expression
+# elsewhere (CPU meshes, multi-chip pjit with sharded weights).
+_W8_KERNEL_MODE = "auto"
+
+
+def set_w8_kernel(mode: str) -> None:
+    """mode: "auto" | "on" | "off"."""
+    global _W8_KERNEL_MODE
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"bad w8 kernel mode: {mode!r}")
+    _W8_KERNEL_MODE = mode
+
+
+def _use_w8_kernel() -> bool:
+    if _W8_KERNEL_MODE == "on":
+        return True
+    if _W8_KERNEL_MODE == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def dense_weight(w, dtype=None):
     """Return a dense weight from either a raw array or a W8-quantized
     ``{"q", "scale"}`` dict (for consumers that need the full tensor, e.g.
@@ -53,10 +76,26 @@ def linear(params, x, *, dtype=None):
     contraction, so ``(x @ q) * scale`` is exact algebra."""
     w = params["w"]
     if isinstance(w, dict) and "q" in w:
-        q = w["q"].astype(dtype or jnp.float32)
         if dtype is not None:
             x = x.astype(dtype)
-        y = (x @ q) * w["scale"].astype(q.dtype)
+        if "layer" in w:
+            # stacked (L, K, N) codes + scan layer index (nn/decoder.py pulls
+            # W8 leaves out of the scan xs so the slice is never materialized)
+            if _use_w8_kernel():
+                from kosmosx_tpu.ops.quant_matmul import w8_matmul_stacked
+                y = w8_matmul_stacked(x, w["q"], w["scale"], w["layer"])
+            else:
+                q = jax.lax.dynamic_index_in_dim(w["q"], w["layer"], 0,
+                                                 keepdims=False)
+                s = jax.lax.dynamic_index_in_dim(w["scale"], w["layer"], 0,
+                                                 keepdims=False)
+                y = (x @ q.astype(x.dtype)) * s.astype(x.dtype)
+        elif _use_w8_kernel():
+            from kosmosx_tpu.ops.quant_matmul import w8_matmul
+            y = w8_matmul(x, w["q"], w["scale"])
+        else:
+            q = w["q"].astype(x.dtype)
+            y = (x @ q) * w["scale"].astype(q.dtype)
     else:
         if dtype is not None:
             x = x.astype(dtype)

@@ -1,1 +1,2 @@
 from kosmosx_tpu.ops.flash_attention import flash_attention, mha_reference
+from kosmosx_tpu.ops.quant_matmul import w8_matmul, w8_matmul_reference

@@ -46,6 +46,13 @@ except ImportError:  # pragma: no cover
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
 NUM_SUBLANES = 8
+# The online softmax runs in the log2 domain: exp(x) costs a hidden
+# x*log2(e) multiply before the VPU's native pow2, so we fold
+# sm_scale*log2(e) into q (or, fused-xPos, into the q sin/cos tables — free)
+# and use exp2 directly. Saves one full (block_q, block_kv) VPU pass per
+# tile on the softmax-bound forward. The saved m residual is therefore in
+# log2 units; the backward recompute uses the same domain.
+LOG2E = 1.4426950408889634
 
 
 def _cdiv(a, b):
@@ -184,14 +191,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
     def _run():
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_kv, d)
-        if qsin_ref is not None:  # fused xPos on VMEM tiles
-            rot = _rot_matrix(q.shape[-1])
+        if qsin_ref is not None:  # fused xPos on VMEM tiles (sm_scale*log2e
+            rot = _rot_matrix(q.shape[-1])  # pre-folded into the q tables)
             q = _apply_rot(q, qsin_ref[...], qcos_ref[...], rot)
             k = _apply_rot(k, ksin_ref[...], kcos_ref[...], rot)
         s = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
-            s = s * sm_scale
+        if qsin_ref is None:
+            # un-fused path: change of base on the fp32 scores (folding into
+            # a bf16 q would add a rounding step); exp2 below still saves
+            # exp's hidden multiply, so this is net-neutral VPU work
+            s = s * (sm_scale * LOG2E)
 
         qseg = qseg_ref[0][:, :1] if qseg_ref is not None else None  # (block_q, 1)
         kseg = kseg_ref[0][:1, :] if kseg_ref is not None else None  # (1, block_kv)
@@ -203,8 +213,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         l_prev = l_scr[...]
         m_curr = jnp.max(s, axis=1)[:, None]   # (block_q, 1)
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
         l_curr = jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
         l_scr[...] = alpha * l_prev + l_curr
@@ -233,6 +243,12 @@ def _fwd(q, k, v, q_segment_ids, kv_segment_ids, xpos_tables, *, causal,
     nk = lk // block_kv
     has_seg = q_segment_ids is not None
     has_xpos = xpos_tables is not None
+    if has_xpos:
+        # fold sm_scale and the exp->exp2 change of base into the q-side
+        # rotation tables — zero extra work inside the kernel
+        c = sm_scale * LOG2E
+        q_sin, q_cos, k_sin, k_cos = xpos_tables
+        xpos_tables = (q_sin * c, q_cos * c, k_sin, k_cos)
 
     def kv_index_map(bi, hi, qi, ki):
         if causal:
@@ -317,16 +333,15 @@ def _fwd(q, k, v, q_segment_ids, kv_segment_ids, xpos_tables, *, causal,
 def _recompute_p(q, k, l, m, *, sm_scale, causal, qi, ki, qseg, kseg,
                  mask_value, block_q, block_kv):
     """Recompute the normalized (block_q, block_kv) softmax tile from
-    residuals. l/m: (block_q, 1)."""
+    residuals. l/m: (block_q, 1); m is in the log2 domain (see LOG2E)."""
     s = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-    if sm_scale != 1.0:
-        s = s * sm_scale
+    s = s * (sm_scale * LOG2E)
     mask = _tile_mask(causal, qi, ki, qseg, kseg, block_q, block_kv)
     if mask is not None:
         s = jnp.where(mask, s, mask_value)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m) * l_inv
+    p = jnp.exp2(s - m) * l_inv
     return p, mask
 
 

@@ -99,3 +99,119 @@ def test_w8_checkpoint_roundtrip(devices, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         state["params"], restored["params"])
+
+
+# ---------------------------------------------------------------------------
+# Pallas W8 matmul kernel (ops/quant_matmul.py) — interpret-mode parity.
+# On a real TPU backend nn/layers.linear routes quantized weights through
+# this kernel (set_w8_kernel "auto"); CPU tests exercise the same kernel in
+# the Pallas interpreter.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from kosmosx_tpu.ops.quant_matmul import w8_matmul, w8_matmul_reference
+from kosmosx_tpu.utils.quantize import _quantize_w
+
+
+@pytest.mark.parametrize("m,k,n", [
+    (8, 128, 256),      # decode-like: tiny M
+    (16, 256, 128),
+    (5, 130, 70),       # ragged everything (padding path)
+    (256, 512, 512),    # one full block
+    (300, 640, 1100),   # multi-block ragged
+])
+def test_w8_matmul_kernel_matches_reference(m, k, n):
+    key = jax.random.PRNGKey(42)
+    w = jax.random.normal(key, (k, n)) * 0.3
+    qd = _quantize_w(w)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (m, k), jnp.float32)
+    ref = w8_matmul_reference(x, qd["q"], qd["scale"])
+    out = w8_matmul(x, qd["q"], qd["scale"], interpret=True,
+                    block_m=64, block_k=128, block_n=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_w8_matmul_kernel_leading_dims_and_bf16():
+    key = jax.random.PRNGKey(7)
+    w = jax.random.normal(key, (192, 257))
+    qd = _quantize_w(w)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (2, 3, 192),
+                          jnp.bfloat16)
+    ref = w8_matmul_reference(x.reshape(-1, 192), qd["q"], qd["scale"])
+    out = w8_matmul(x, qd["q"], qd["scale"], interpret=True)
+    assert out.shape == (2, 3, 257)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(-1, 257), np.float32),
+        np.asarray(ref, np.float32), rtol=0.05, atol=0.1)
+
+
+def test_linear_w8_kernel_mode_switch():
+    """Forcing the kernel on routes linear() through it (interpreter via
+    backend check is bypassed by mode \"on\"); results match the XLA path."""
+    key = jax.random.PRNGKey(0)
+    p = {"w": jax.random.normal(key, (64, 96))}
+    q = quantize_params_w8(p, min_size=1)
+    x = jax.random.normal(jax.random.fold_in(key, 2), (5, 64))
+    ref = layers.linear(q, x)
+    # patch the kernel to interpreter mode for the CPU test
+    import kosmosx_tpu.ops.quant_matmul as qm
+    orig = qm.w8_matmul
+    layers.set_w8_kernel("on")
+    try:
+        qm.w8_matmul = lambda *a, **kw: orig(*a, interpret=True, **kw)
+        out = layers.linear(q, x)
+    finally:
+        layers.set_w8_kernel("auto")
+        qm.w8_matmul = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_w8_matmul_stacked_kernel_matches_slice():
+    """Scalar-prefetch stacked kernel == slicing then the 2D path."""
+    from kosmosx_tpu.ops.quant_matmul import w8_matmul_stacked
+
+    key = jax.random.PRNGKey(11)
+    w = jax.random.normal(key, (3, 256, 384)) * 0.2
+    qd = _quantize_w(w)   # (3,256,384) int8, (3,1,384) scales
+    x = jax.random.normal(jax.random.fold_in(key, 1), (4, 256), jnp.float32)
+    for li in range(3):
+        ref = w8_matmul_reference(x, qd["q"][li], qd["scale"][li])
+        out = w8_matmul_stacked(x, qd["q"], qd["scale"],
+                                jnp.int32(li), interpret=True,
+                                block_m=16, block_k=128, block_n=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_w8_scan_decoder_uses_stacked_marker(monkeypatch):
+    """With scan_layers + W8 params, decoder grafts {"q","scale","layer"}
+    markers (stacked weights out of the scan xs) and logits still match the
+    non-scan W8 decoder."""
+    cfg_scan = dataclasses.replace(CFG, scan_layers=True)
+    params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
+    stacked = dec.init_decoder(jax.random.PRNGKey(0), cfg_scan)
+    # same init key -> same per-layer weights; rebuild stacked from list tree
+    stacked["layers"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *params["layers"])
+    for k in ("embed", "pos", "out_proj", "ln"):
+        stacked[k] = params[k]
+    qp = quantize_params_w8(params, min_size=512)
+    qs = quantize_params_w8(stacked, min_size=512)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 4,
+                              CFG.vocab_size)
+    ref = np.asarray(dec.decoder_forward(qp, toks, CFG), np.float32)
+    seen = {}
+    orig = dec._graft_stacked_w8
+
+    def spy(t, slots, li, path=()):
+        seen["slots"] = len(slots)
+        return orig(t, slots, li, path)
+
+    monkeypatch.setattr(dec, "_graft_stacked_w8", spy)
+    out = np.asarray(dec.decoder_forward(qs, toks, cfg_scan), np.float32)
+    assert seen.get("slots", 0) > 0, "stacked W8 extraction did not trigger"
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
