@@ -32,11 +32,16 @@ def init_linear(key, in_dim: int, out_dim: int, *, bias: bool = True,
     return params
 
 
-# W8 matmul-kernel switch: "auto" uses the Pallas int8-weight kernel on a
-# real TPU backend (single-chip decode, where it recovers the HBM bandwidth
-# the XLA dequant-in-matmul path loses) and the exact-math XLA expression
-# elsewhere (CPU meshes, multi-chip pjit with sharded weights).
-_W8_KERNEL_MODE = "auto"
+# W8 matmul-kernel switch. Measured on the flagship (v5e, decode batch 8):
+# XLA's own dequant-fused matmul 1124 tok/s vs the Pallas kernels 924
+# (naive, scan slice-copies the codes) / 1081 (scalar-prefetch stacked,
+# 1024^2 blocks). At decode's tiny M the XLA path wins — int8 streams cap
+# at ~210-225 GB/s effective on this stack either way (raw flat int8 reads
+# measure ~310 GB/s vs ~345 for bf16), so the hand kernel has no bandwidth
+# left to recover. Default is therefore "off" (exact-math XLA expression);
+# "on"/"auto" keep the kernels available for explicit use and larger-M
+# quantized matmuls where they tie XLA.
+_W8_KERNEL_MODE = "off"
 
 
 def set_w8_kernel(mode: str) -> None:

@@ -1,27 +1,31 @@
-"""Pallas TPU weight-only int8 matmul (W8 inference hot path).
+"""Pallas TPU weight-only int8 matmul kernels (W8 inference).
 
-Single-chip decode of the 2.88B flagship is weight-read bound (BASELINE.md:
-911 tok/s bf16 at batch 8 ≈ the 5.8 GB/step HBM param-read floor). Storing
-weights int8 halves the bytes, but the plain-XLA path
-(``x @ q.astype(bf16) * scale`` in nn/layers.linear) only realized +23%:
-the int8→bf16 convert runs in the matmul's inner loop and the fused kernel
-stops streaming at full HBM bandwidth.
+Counterpart of the bitsandbytes int8 CUDA machinery the reference leans on
+(bnb.nn.Embedding at /root/reference/kosmosx/model.py:161-163; 8-bit
+optimizers commented at /root/reference/train.py:399-402). The kernels read
+int8 weight tiles straight from HBM, dequantize them on the VPU once the
+tile lands in VMEM, feed the MXU in the activation dtype with fp32
+accumulation, and apply the per-output-channel scale once per output tile
+(the per-channel scale commutes out of the contraction, so this is exact
+algebra over the codes). The stacked variant takes a scalar-prefetch layer
+index so a ``lax.scan`` over stacked (L, K, N) codes never materializes a
+sliced copy.
 
-This kernel reads int8 weight tiles straight from HBM, dequantizes them on
-the VPU *after* they land in VMEM (hidden behind the next tile's DMA — the
-op is bandwidth-bound, so the convert is free), feeds the MXU in the
-activation dtype with fp32 accumulation, and applies the per-output-channel
-scale once per output tile. The per-channel scale commutes out of the
-contraction, so the result is bit-identical algebra to dequantize-then-matmul.
+Measured honestly on the flagship (v5e via the axon tunnel, decode batch 8,
+128 new tokens): bf16 911 tok/s; W8 via XLA's own dequant-fused matmul
+1124; W8 via these kernels 924 (naive: scan slice-copy) / 1081 (stacked,
+1024^2 blocks). Microbenchmarks on the (8,2048)x(2048,8192) FFN shape show
+every int8 path capping at 197-225 GB/s effective (XLA dequant 222, stacked
+kernel 213, int8xint8 MXU 197) while bf16 streams at ~337 GB/s — and RAW
+flat reads measure ~310 GB/s (int8/int32) vs ~345 GB/s (bf16), so at
+decode's tiny M there is no recoverable bandwidth for a hand kernel.
+nn/layers.linear therefore defaults these kernels OFF (set_w8_kernel) and
+uses the XLA expression; the kernels stay available for explicit use and
+for larger-M quantized matmuls where they tie XLA.
 
-This replaces the bitsandbytes int8 CUDA matmul machinery the reference
-leans on (bnb.nn.Embedding at /root/reference/kosmosx/model.py:161-163;
-8-bit optimizers commented at /root/reference/train.py:399-402) with a
-TPU-native kernel.
-
-Off-TPU the public entry point falls back to the exact-math XLA expression,
-so CPU tests and multi-chip pjit paths (where a pallas_call would force an
-all-gather of the sharded weight) keep working unchanged.
+Off-TPU the public entry points fall back to the Pallas interpreter only
+when asked (``interpret=True``); CPU meshes and multi-chip pjit paths use
+the XLA expression via nn/layers.linear.
 """
 
 from __future__ import annotations
@@ -204,7 +208,7 @@ def _w8_matmul_stacked_2d(x, q, scale, layer, *, block_m, block_k, block_n,
 
 
 def w8_matmul_stacked(x, q, scale, layer, *, block_m: int = 256,
-                      block_k: int = 512, block_n: int = 512,
+                      block_k: int = 1024, block_n: int = 1024,
                       interpret: bool = False):
     """``(x @ q[layer]) * scale[layer]`` without materializing the slice.
 

@@ -159,12 +159,13 @@ def test_linear_w8_kernel_mode_switch():
     # patch the kernel to interpreter mode for the CPU test
     import kosmosx_tpu.ops.quant_matmul as qm
     orig = qm.w8_matmul
+    prev_mode = layers._W8_KERNEL_MODE
     layers.set_w8_kernel("on")
     try:
         qm.w8_matmul = lambda *a, **kw: orig(*a, interpret=True, **kw)
         out = layers.linear(q, x)
     finally:
-        layers.set_w8_kernel("auto")
+        layers.set_w8_kernel(prev_mode)
         qm.w8_matmul = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
