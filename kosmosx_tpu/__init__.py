@@ -38,6 +38,8 @@ _LAZY = {
     "Trainer": "kosmosx_tpu.train.trainer",
     "TrainConfig": "kosmosx_tpu.train.trainer",
     "flash_attention": "kosmosx_tpu.ops.flash_attention",
+    "ServeEngine": "kosmosx_tpu.serve.engine",
+    "ServeConfig": "kosmosx_tpu.serve.engine",
 }
 
 
@@ -65,4 +67,6 @@ __all__ = [
     "Trainer",
     "TrainConfig",
     "flash_attention",
+    "ServeEngine",
+    "ServeConfig",
 ]

@@ -1,0 +1,295 @@
+"""Continuous-batching serving engine (slot-based KV cache).
+
+The reference ships NO serving/inference layer at all (SURVEY.md §1: no
+``serve()``, no generation loop, no KV cache use anywhere; torchscale's
+``incremental_state`` is never exercised). This module goes beyond parity
+and provides a production-shaped serving path, designed TPU-first:
+
+- ALL device state has static shapes: a fixed pool of ``max_batch`` decode
+  slots over one stacked KV cache, prompts padded to ``max_prompt_len`` —
+  so exactly two programs are compiled (one prefill, one decode step) no
+  matter how requests arrive;
+- decode advances every active slot one token per step in a single jitted
+  call (continuous batching: new requests are admitted into free slots
+  between steps, without disturbing in-flight ones);
+- admission = batch-1 prefill + a jitted cache insert
+  (``dynamic_update_index_in_dim`` into the slot axis);
+- per-slot cache indices make ragged prompts/generation lengths exact: a
+  slot's stale cache contents past its index are never attended to.
+
+EOS detection and request bookkeeping run on the host (the per-step token
+fetch is required to stream tokens out anyway). On the axon tunnel this adds
+one RTT per token; on a local chip it is the usual sync point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kosmosx_tpu.core.config import KosmosConfig, MagnetoConfig
+from kosmosx_tpu.generate.sampler import SamplingConfig, sample_logits, _prefill
+from kosmosx_tpu.nn import decoder as dec
+from kosmosx_tpu.nn import layers
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    max_batch: int = 8          # concurrent decode slots
+    max_prompt_len: int = 128   # prompts are padded to this (static shape)
+    max_len: int = 256          # KV-cache length (prompt + generated bound)
+    pad_id: int = 1             # feed for inactive slots
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: Any                  # (Lp,) int32 token ids (list or array)
+    max_new_tokens: int = 64
+    eos_id: Optional[int] = None
+    images: Any = None           # optional (M, 3, H, W) for multimodal
+    # filled by the engine:
+    id: int = -1
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+# ---------------------------------------------------------------------------
+# jitted pieces (static cfg; compiled once per engine)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "max_len",
+                                             "interpret"))
+def _prefill_one_jit(params, prompt, length, rng, cfg: MagnetoConfig,
+                     scfg: SamplingConfig, max_len: int,
+                     interpret: bool = False):
+    """prompt (1, P) -> (first_token (1,), batch-1 caches)."""
+    caches = dec.init_cache(cfg, batch=1, max_len=max_len)
+    lp = prompt.shape[1]
+    seg = jnp.where(jnp.arange(lp)[None, :] < length[:, None], 0, -1
+                    ).astype(jnp.int32)
+    x, _ = dec.forward_embedding(params, cfg, prompt)
+    last_logits, caches = _prefill(params, cfg, x, caches, length, seg,
+                                   interpret=interpret)
+    first = sample_logits(last_logits, rng, scfg)
+    return first, caches
+
+
+@functools.partial(jax.jit, static_argnames=("kcfg", "scfg", "max_len"))
+def _prefill_mm_one_jit(params, prompt, images, length, rng,
+                        kcfg: KosmosConfig, scfg: SamplingConfig,
+                        max_len: int):
+    """Multimodal admission: encode image(s), splice, prefill (batch 1).
+    Returns (first_token (1,), caches, spliced_length (1,))."""
+    from kosmosx_tpu.data.splice import splice_embeddings
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    dcfg = kcfg.decoder
+    img = Kosmos.encode_images(params, images, kcfg)
+    num_images = img.shape[1] if img.ndim == 4 else 1
+    text_emb = dec.embed_only(params["decoder"], dcfg, prompt)
+    spliced = splice_embeddings(text_emb, img, None, index=kcfg.splice_index)
+    if kcfg.parity_double_scale:
+        x, _ = dec.forward_embedding(params["decoder"], dcfg,
+                                     token_embedding=spliced)
+    else:
+        pos = layers.positional_embedding(
+            params["decoder"]["pos"], spliced.shape[1],
+            padding_idx=dcfg.padding_idx, dtype=dcfg.dtype)
+        x = spliced + pos
+    full_length = length + num_images * kcfg.image_embed_len
+    lp = spliced.shape[1]
+    seg = jnp.where(jnp.arange(lp)[None, :] < full_length[:, None], 0, -1
+                    ).astype(jnp.int32)
+    caches = dec.init_cache(dcfg, batch=1, max_len=max_len)
+    last_logits, caches = _prefill(params["decoder"], dcfg, x, caches,
+                                   full_length, seg)
+    first = sample_logits(last_logits, rng, scfg)
+    return first, caches, full_length
+
+
+@jax.jit
+def _insert_slot_jit(caches, caches_one, slot):
+    """Write a batch-1 cache into slot ``slot`` of the pooled cache."""
+
+    def ins(pool, one):
+        axis = 1 if pool.ndim == 5 else 0  # stacked (L,B,H,S,hd) vs (B,H,S,hd)
+        return jax.lax.dynamic_update_index_in_dim(
+            pool, jnp.take(one, 0, axis=axis), slot, axis)
+
+    return jax.tree_util.tree_map(ins, caches, caches_one)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "double_scale",
+                                             "interpret"))
+def _decode_step_jit(params, last_tokens, caches, index, active, rng,
+                     cfg: MagnetoConfig, scfg: SamplingConfig,
+                     double_scale: bool = False, interpret: bool = False):
+    """One decode step for every slot. Inactive slots still compute (static
+    shapes) but their index does not advance and their token is ignored."""
+    if double_scale:
+        emb = dec.embed_only(params, cfg, last_tokens[:, None])
+        x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
+                                     offset=index[:, None])
+    else:
+        x, _ = dec.forward_embedding(params, cfg, last_tokens[:, None],
+                                     offset=index[:, None])
+    h, caches = dec.run_layers(params, x, cfg, caches=caches,
+                               cache_index=index, interpret=interpret)
+    logits = dec.output_logits(params, h, cfg)[:, 0]
+    nxt = sample_logits(logits, rng, scfg)
+    index = index + active.astype(index.dtype)
+    return nxt, caches, index
+
+
+class ServeEngine:
+    """Continuous-batching engine over one model replica.
+
+    >>> eng = ServeEngine(params, cfg, ServeConfig(max_batch=4))
+    >>> h = eng.submit([3, 17, 9], max_new_tokens=16, eos_id=2)
+    >>> eng.run()          # drain all pending/in-flight requests
+    >>> h.tokens           # generated ids (stops at eos_id if hit)
+
+    For Kosmos multimodal params pass ``kosmos_cfg`` and submit requests
+    with ``images``; text-only requests work against the same engine.
+    """
+
+    def __init__(self, params, cfg: MagnetoConfig,
+                 serve_cfg: Optional[ServeConfig] = None,
+                 sampling: Optional[SamplingConfig] = None,
+                 kosmos_cfg: Optional[KosmosConfig] = None,
+                 rng: Optional[jax.Array] = None,
+                 interpret: bool = False):
+        self.cfg = cfg
+        self.kcfg = kosmos_cfg
+        self.params = params
+        self.dec_params = params["decoder"] if kosmos_cfg is not None else params
+        self.scfg = serve_cfg or ServeConfig()
+        self.sampling = sampling or SamplingConfig(greedy=True)
+        self.interpret = interpret
+        self.double_scale = bool(kosmos_cfg.parity_double_scale) \
+            if kosmos_cfg is not None else False
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        b = self.scfg.max_batch
+        self.caches = dec.init_cache(cfg, batch=b, max_len=self.scfg.max_len)
+        self.index = jnp.zeros((b,), jnp.int32)
+        self.last = jnp.full((b,), self.scfg.pad_id, jnp.int32)
+        self.slots: List[Optional[Request]] = [None] * b
+        self.pending: deque[Request] = deque()
+        self._next_id = 0
+        self.steps = 0
+
+    # -- request API --------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int = 64,
+               eos_id: Optional[int] = None, images=None) -> Request:
+        prompt = list(int(t) for t in prompt)
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) > self.scfg.max_prompt_len:
+            raise ValueError(f"prompt len {len(prompt)} > max_prompt_len "
+                             f"{self.scfg.max_prompt_len}")
+        extra = 0
+        if images is not None:
+            if self.kcfg is None:
+                raise ValueError("engine was built without kosmos_cfg; "
+                                 "multimodal requests need one")
+            n_img = images.shape[0] if images.ndim == 4 else 1
+            extra = n_img * self.kcfg.image_embed_len
+        if len(prompt) + extra + max_new_tokens > self.scfg.max_len:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + image embeds ({extra}) + "
+                f"max_new_tokens ({max_new_tokens}) exceeds cache length "
+                f"{self.scfg.max_len}")
+        req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
+                      eos_id=eos_id, images=images, id=self._next_id)
+        self._next_id += 1
+        self.pending.append(req)
+        return req
+
+    # -- internals -----------------------------------------------------------
+
+    def _fold(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _admit(self, slot: int, req: Request):
+        p = self.scfg.max_prompt_len
+        prompt = jnp.asarray(
+            req.prompt + [self.scfg.pad_id] * (p - len(req.prompt)),
+            jnp.int32)[None, :]
+        length = jnp.asarray([len(req.prompt)], jnp.int32)
+        if req.images is not None:
+            images = req.images if req.images.ndim == 5 else req.images[None]
+            first, c1, full_len = _prefill_mm_one_jit(
+                self.params, prompt, images, length, self._fold(),
+                self.kcfg, self.sampling, self.scfg.max_len)
+            idx = full_len
+        else:
+            first, c1 = _prefill_one_jit(
+                self.dec_params, prompt, length, self._fold(), self.cfg,
+                self.sampling, self.scfg.max_len, self.interpret)
+            idx = length
+        self.caches = _insert_slot_jit(self.caches, c1, slot)
+        self.index = self.index.at[slot].set(idx[0])
+        tok = int(first[0])
+        self.last = self.last.at[slot].set(tok)
+        self.slots[slot] = req
+        req.tokens.append(tok)
+        self._maybe_finish(slot, tok)
+
+    def _maybe_finish(self, slot: int, tok: int):
+        req = self.slots[slot]
+        if req is None:
+            return
+        if ((req.eos_id is not None and tok == req.eos_id)
+                or len(req.tokens) >= req.max_new_tokens):
+            req.done = True
+            self.slots[slot] = None
+            self.last = self.last.at[slot].set(self.scfg.pad_id)
+
+    @property
+    def num_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    def step(self) -> bool:
+        """Admit pending requests into free slots, then advance every active
+        slot one token. Returns False when there is nothing left to do."""
+        for slot in range(self.scfg.max_batch):
+            if self.slots[slot] is None and self.pending:
+                self._admit(slot, self.pending.popleft())
+        if self.num_active == 0:
+            return bool(self.pending)
+        active = jnp.asarray([s is not None for s in self.slots], bool)
+        nxt, self.caches, self.index = _decode_step_jit(
+            self.dec_params, self.last, self.caches, self.index, active,
+            self._fold(), self.cfg, self.sampling,
+            double_scale=self.double_scale, interpret=self.interpret)
+        # one host fetch per step: streams tokens out + detects EOS
+        toks = [int(t) for t in jax.device_get(nxt)]
+        self.steps += 1
+        new_last = []
+        for slot in range(self.scfg.max_batch):
+            req = self.slots[slot]
+            if req is None:
+                new_last.append(self.scfg.pad_id)
+                continue
+            req.tokens.append(toks[slot])
+            self._maybe_finish(slot, toks[slot])
+            new_last.append(toks[slot] if self.slots[slot] is not None
+                            else self.scfg.pad_id)
+        self.last = jnp.asarray(new_last, jnp.int32)
+        return self.num_active > 0 or bool(self.pending)
+
+    def run(self, max_steps: Optional[int] = None):
+        """Drain every pending/in-flight request (bounded by max_steps)."""
+        n = 0
+        while (self.pending or self.num_active) and (
+                max_steps is None or n < max_steps):
+            self.step()
+            n += 1
+        return n

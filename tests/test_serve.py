@@ -1,0 +1,132 @@
+"""Continuous-batching serving engine (kosmosx_tpu/serve/engine.py).
+
+The reference has no serving layer (SURVEY.md §1); these tests pin the
+engine's contract: greedy outputs identical to the one-shot generate_text
+path, slot reuse under overload, EOS + budget stopping, ragged prompts,
+and multimodal admission.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
+                                     ResamplerConfig, VisionConfig)
+from kosmosx_tpu.generate import SamplingConfig, generate_text
+from kosmosx_tpu.nn import decoder as dec
+from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+CFG = MagnetoConfig(vocab_size=97, embed_dim=64, ffn_dim=128, layers=2,
+                    heads=4, max_positions=128, use_flash_attention=False,
+                    multiway=False, dropout=0.0, attention_dropout=0.0,
+                    scan_layers=True)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return dec.init_decoder(jax.random.PRNGKey(0), CFG)
+
+
+def _prompts(n, key=7):
+    out = []
+    for i in range(n):
+        lp = 3 + (i * 5) % 9
+        out.append(list(np.asarray(
+            jax.random.randint(jax.random.PRNGKey(key + i), (lp,), 4,
+                               CFG.vocab_size), np.int64)))
+    return out
+
+
+def test_engine_matches_one_shot_greedy(params):
+    prompts = _prompts(5)
+    new = 6
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=3, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    handles = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    for p, h in zip(prompts, handles):
+        assert h.done and len(h.tokens) == new
+        ref = generate_text(params, CFG, jnp.asarray([p], jnp.int32),
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+        assert h.tokens == [int(t) for t in np.asarray(ref[0])], (
+            f"prompt {p}: engine {h.tokens} vs one-shot {list(ref[0])}")
+
+
+def test_engine_staggered_admission(params):
+    """Submitting mid-flight must not disturb in-progress slots."""
+    prompts = _prompts(4, key=31)
+    new = 8
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=2, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    h0 = eng.submit(prompts[0], max_new_tokens=new)
+    h1 = eng.submit(prompts[1], max_new_tokens=new)
+    for _ in range(3):
+        eng.step()
+    h2 = eng.submit(prompts[2], max_new_tokens=new)
+    h3 = eng.submit(prompts[3], max_new_tokens=new)
+    eng.run()
+    for p, h in zip(prompts, (h0, h1, h2, h3)):
+        ref = generate_text(params, CFG, jnp.asarray([p], jnp.int32),
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+        assert h.tokens == [int(t) for t in np.asarray(ref[0])]
+
+
+def test_engine_eos_stops_early(params):
+    p = _prompts(1)[0]
+    ref = generate_text(params, CFG, jnp.asarray([p], jnp.int32),
+                        SamplingConfig(max_new_tokens=8, greedy=True))
+    eos = int(ref[0, 3])  # the 4th greedy token, so it stops after 4
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=2, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    h = eng.submit(p, max_new_tokens=8, eos_id=eos)
+    eng.run()
+    assert h.done
+    assert h.tokens[-1] == eos
+    assert len(h.tokens) <= 4
+
+
+def test_engine_rejects_oversize(params):
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=1, max_prompt_len=8, max_len=16))
+    with pytest.raises(ValueError):
+        eng.submit(list(range(4, 14)))         # prompt too long
+    with pytest.raises(ValueError):
+        eng.submit([5, 6], max_new_tokens=32)  # exceeds cache length
+    with pytest.raises(ValueError):
+        eng.submit([])
+
+
+def test_engine_multimodal_admission(devices):
+    kcfg = KosmosConfig(
+        decoder=dataclasses.replace(CFG, vocab_size=128),
+        vision=VisionConfig(image_size=28, patch_size=14, layers=1,
+                            hidden_dim=32, heads=2, mlp_dim=64,
+                            use_flash_attention=False),
+        resampler=ResamplerConfig(dim=32, depth=1, dim_head=8, heads=2,
+                                  num_latents=4, num_media_embeds=5),
+        image_embed_len=4)
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    params = Kosmos.init(jax.random.PRNGKey(0), kcfg)
+    eng = ServeEngine(params, kcfg.decoder,
+                      ServeConfig(max_batch=2, max_prompt_len=12, max_len=48),
+                      SamplingConfig(greedy=True), kosmos_cfg=kcfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28))
+    h_mm = eng.submit([3, 17, 9, 11], max_new_tokens=5, images=img)
+    h_txt = eng.submit([4, 8, 15], max_new_tokens=5)
+    eng.run()
+    assert h_mm.done and len(h_mm.tokens) == 5
+    assert h_txt.done and len(h_txt.tokens) == 5
+    # multimodal path must match the one-shot multimodal generator
+    from kosmosx_tpu.generate import generate_multimodal
+    ref = generate_multimodal(params, kcfg, jnp.asarray([[3, 17, 9, 11]],
+                                                        jnp.int32),
+                              img, SamplingConfig(max_new_tokens=5,
+                                                  greedy=True))
+    assert h_mm.tokens == [int(t) for t in np.asarray(ref[0])]
