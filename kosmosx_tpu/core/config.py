@@ -82,6 +82,12 @@ class MagnetoConfig:
     remat_policy: str = "nothing"
     # scan the layer stack (compile-time win for deep models)
     scan_layers: bool = False
+    # Sequence/context parallelism: name of the mesh axis the sequence
+    # dimension is sharded over. When set, the model must run inside
+    # shard_map with activations sharded on that axis; attention runs the
+    # ppermute ring (parallel/ring_attention.py) and positions/xPos use each
+    # shard's global offset. None = single-shard sequence (default).
+    sequence_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

@@ -121,6 +121,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                    prefill: bool = False,
                    dtype=None,
                    interpret: bool = False,
+                   sequence_axis: Optional[str] = None,
                    ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Self-attention over ``x`` (B, L, D).
 
@@ -144,7 +145,36 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
     v = proj(params["v"], x)
     q, k, v = _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads)
 
-    if cache is None:
+    if cache is None and sequence_axis is not None:
+        # context parallelism: sequence sharded over `sequence_axis`; K/V
+        # shards rotate around the ring (parallel/ring_attention.py)
+        from kosmosx_tpu.parallel.ring_attention import ring_flash_attention
+
+        if segment_ids is not None:
+            raise NotImplementedError(
+                "segment_ids are not supported under sequence parallelism "
+                "yet — pad-free packed batches only")
+        if rng is not None and attn_dropout > 0.0:
+            raise NotImplementedError(
+                "attention dropout is not supported under sequence "
+                "parallelism")
+        if xpos:
+            # global absolute positions; the global-center choice cancels in
+            # q.k (scale ratio depends only on t-u) but keeps fp ranges sane
+            n_shards = jax.lax.psum(1, sequence_axis)
+            off = jax.lax.axis_index(sequence_axis) * l
+            center = (l * n_shards) // 2
+            q = apply_xpos(q, scale_base=xpos_scale_base, downscale=False,
+                           center=center, offset=off)
+            k = apply_xpos(k, scale_base=xpos_scale_base, downscale=True,
+                           center=center, offset=off)
+        o = ring_flash_attention(q, k, v, sequence_axis, causal=causal,
+                                 block_q=min(flash_block_q, l),
+                                 block_kv=min(flash_block_kv, l),
+                                 interpret=interpret)
+        o = o.astype(x.dtype)
+        new_cache = None
+    elif cache is None:
         new_cache = None
         seg_q = seg_kv = segment_ids
         use_flash_here = (use_flash and l >= _FLASH_MIN_LEN

@@ -143,7 +143,8 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         flash_block_q=cfg.flash_block_q, flash_block_kv=cfg.flash_block_kv,
         segment_ids=segment_ids, attn_dropout=cfg.attention_dropout,
         rng=rngs[0], cache=cache, cache_index=cache_index,
-        prefill=prefill, dtype=dtype, interpret=interpret)
+        prefill=prefill, dtype=dtype, interpret=interpret,
+        sequence_axis=cfg.sequence_axis)
     if rngs[1] is not None and cfg.dropout > 0.0:
         h = layers.dropout(h, cfg.dropout, rngs[1])
     x = residual + h
@@ -362,12 +363,17 @@ def output_logits(params, hidden, cfg: MagnetoConfig):
 def decoder_forward(params, tokens, cfg: MagnetoConfig, *,
                     segment_ids: Optional[jax.Array] = None,
                     rng: Optional[jax.Array] = None,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    position_offset=0):
     """tokens (B, L) -> logits (B, L, vocab). The KosmosLanguage path
     (/root/reference/kosmosx/model.py:310-320: single embed-scale + positions,
-    then decode, then project)."""
+    then decode, then project).
+
+    ``position_offset``: global position of tokens[:, 0] — used by sequence
+    parallelism, where each shard embeds its slice at its global offset."""
     rngs = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
-    x, _ = forward_embedding(params, cfg, tokens, rng=rngs[0])
+    x, _ = forward_embedding(params, cfg, tokens, rng=rngs[0],
+                             offset=position_offset)
     h, _ = run_layers(params, x, cfg, segment_ids=segment_ids, rng=rngs[1],
                       interpret=interpret)
     return output_logits(params, h, cfg)

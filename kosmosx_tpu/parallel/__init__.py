@@ -1,4 +1,7 @@
 from kosmosx_tpu.parallel.mesh import make_mesh, initialize_distributed
+from kosmosx_tpu.parallel.ring_attention import ring_flash_attention
+from kosmosx_tpu.parallel.seq_parallel import (make_seq_parallel_train_step,
+                                               make_sp_mesh, shift_labels)
 from kosmosx_tpu.parallel.sharding import (
     batch_spec,
     param_specs,
@@ -9,4 +12,6 @@ from kosmosx_tpu.parallel.sharding import (
 __all__ = [
     "make_mesh", "initialize_distributed",
     "batch_spec", "param_specs", "shard_params", "shard_batch",
+    "ring_flash_attention",
+    "make_seq_parallel_train_step", "make_sp_mesh", "shift_labels",
 ]
