@@ -40,6 +40,7 @@ _LAZY = {
     "flash_attention": "kosmosx_tpu.ops.flash_attention",
     "ServeEngine": "kosmosx_tpu.serve.engine",
     "ServeConfig": "kosmosx_tpu.serve.engine",
+    "evaluate_perplexity": "kosmosx_tpu.eval.perplexity",
 }
 
 
@@ -69,4 +70,5 @@ __all__ = [
     "flash_attention",
     "ServeEngine",
     "ServeConfig",
+    "evaluate_perplexity",
 ]

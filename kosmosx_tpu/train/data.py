@@ -22,14 +22,30 @@ def group_texts(token_streams: Iterable[Sequence[int]], seq_len: int,
                 eos_id: int = 2) -> Iterator[np.ndarray]:
     """Concatenate tokenized docs (appending EOS) and emit ``seq_len`` blocks
     (the reference's group_texts, /root/reference/train.py:444-462 — drop the
-    trailing remainder like the reference does)."""
-    buf: List[int] = []
+    trailing remainder like the reference does).
+
+    Docs are batched and packed through the native C++ kernel
+    (data/native/packing.cpp) when built; semantics are identical to the
+    numpy path (tests/test_native_data.py checks byte equality).
+    """
+    from kosmosx_tpu.data import native as _native
+
+    carry = np.zeros((0,), np.int32)
+    pending: List[np.ndarray] = []
+    pending_tokens = 0
+    flush_at = max(seq_len * 64, 1 << 16)  # amortize the ctypes call
     for stream in token_streams:
-        buf.extend(int(t) for t in stream)
-        buf.append(eos_id)
-        while len(buf) >= seq_len:
-            yield np.asarray(buf[:seq_len], np.int32)
-            del buf[:seq_len]
+        doc = np.asarray(stream, np.int32).ravel()
+        pending.append(doc)
+        pending_tokens += len(doc) + 1
+        if pending_tokens + len(carry) >= flush_at:
+            blocks, carry = _native.pack_blocks(pending, seq_len, eos_id,
+                                                carry)
+            pending, pending_tokens = [], 0
+            yield from blocks
+    if pending:
+        blocks, carry = _native.pack_blocks(pending, seq_len, eos_id, carry)
+        yield from blocks
 
 
 def packed_text_batches(token_streams: Iterable[Sequence[int]], *,
@@ -48,6 +64,38 @@ def packed_text_batches(token_streams: Iterable[Sequence[int]], *,
         ids = np.stack(blocks)
         yield {"input_ids": ids,
                "attention_mask": np.ones_like(ids, np.int32)}
+
+
+def device_prefetch(iterator: Iterable, place_fn,
+                    depth: int = 2) -> Iterator:
+    """Apply ``place_fn`` (host→device transfer / sharding) up to ``depth``
+    items ahead on a background thread, so transfers overlap the current
+    step's compute. The reference gets this from torch DataLoader workers +
+    FSDP forward_prefetch (/root/reference/train.py:196-197); on TPU the
+    device side is async already, so one thread hiding the host-side copy
+    is all that's needed. Exceptions from the worker re-raise at the
+    consumption point."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(("item", place_fn(item)))
+            q.put(("done", None))
+        except BaseException as e:  # re-raised on the consumer thread
+            q.put(("error", e))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        kind, payload = q.get()
+        if kind == "done":
+            return
+        if kind == "error":
+            raise payload
+        yield payload
 
 
 def text_file_stream(paths: Sequence[str], tokenizer) -> Iterator[List[int]]:

@@ -232,14 +232,20 @@ class Trainer:
 
         t0 = time.time()
         metrics = {}
-        it = iter(batches)
         n = 0
-        for i, batch in enumerate(it):
-            if i < start_step:  # skip_first_batches equivalent (train.py:636)
-                continue
+
+        def _skipped():
+            for i, b in enumerate(batches):
+                if i < start_step:  # skip_first_batches equiv (train.py:636)
+                    continue
+                yield i, b
+
+        from kosmosx_tpu.train.data import device_prefetch
+        stream = device_prefetch(
+            _skipped(), lambda ib: (ib[0], self.shard_batch(ib[1])))
+        for i, batch in stream:
             if steps is not None and n >= steps:
                 break
-            batch = self.shard_batch(batch)
             self.state, metrics = self._step_fn(self.state, batch)
             n += 1
             step_no = int(i) + 1
