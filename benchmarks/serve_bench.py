@@ -1,0 +1,117 @@
+"""Continuous-batching serving benchmark (ServeEngine) on the real chip.
+
+Measures, on the flagship 24L/2048d/32h multiway decoder (bf16):
+- sustained decode throughput (tokens/sec) with all slots busy and
+  mid-flight admission keeping the pool full;
+- admission latency (one batch-1 prefill + slot insert) ≈ time-to-first-token.
+
+The engine's per-step host sync (it must read the sampled token ids to
+detect EOS/budget) is included — this is the honest serving number, vs
+benchmarks/decode_bench.py's pure jitted-scan decode ceiling.
+
+Run: python benchmarks/serve_bench.py [--slots 8] [--new-tokens 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=2048)
+    ap.add_argument("--layers", type=int, default=24)
+    ap.add_argument("--w8", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from kosmosx_tpu.core.config import MagnetoConfig
+    from kosmosx_tpu.core.dtypes import init_casted
+    from kosmosx_tpu.generate import SamplingConfig
+    from kosmosx_tpu.nn import decoder as dec
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    cfg = MagnetoConfig(embed_dim=args.dim, ffn_dim=4 * args.dim,
+                        layers=args.layers, heads=args.dim // 64,
+                        max_positions=8194, compute_dtype="bfloat16",
+                        scan_layers=True, dropout=0.0, attention_dropout=0.0)
+    params = init_casted(lambda k: dec.init_decoder(k, cfg),
+                         jax.random.PRNGKey(0), cfg.dtype)
+    if args.w8:
+        from kosmosx_tpu.utils.quantize import quantize_params_w8
+        params = jax.jit(quantize_params_w8)(params)
+
+    max_len = args.prompt_len + args.new_tokens
+    eng = ServeEngine(params, cfg,
+                      ServeConfig(max_batch=args.slots,
+                                  max_prompt_len=args.prompt_len,
+                                  max_len=max_len),
+                      SamplingConfig(greedy=True))
+
+    key = jax.random.PRNGKey(1)
+
+    def mk_prompt(i):
+        return list(jax.random.randint(jax.random.fold_in(key, i),
+                                       (args.prompt_len,), 4,
+                                       cfg.vocab_size))
+
+    handles = []
+    # admission latency: first prefill (compile) then a timed one
+    handles.append(eng.submit(mk_prompt(0), max_new_tokens=args.new_tokens))
+    eng.step()  # compiles prefill+decode programs
+    t0 = time.perf_counter()
+    handles.append(eng.submit(mk_prompt(1), max_new_tokens=args.new_tokens))
+    eng.step()
+    admit_s = time.perf_counter() - t0
+
+    # fill the pool and keep it full; measure steady-state decode
+    pending = [mk_prompt(i) for i in range(2, args.requests)]
+    while len(handles) < args.slots and pending:
+        handles.append(eng.submit(pending.pop(), max_new_tokens=args.new_tokens))
+    t0 = time.perf_counter()
+    tokens_before = 0
+    steps = 0
+    while True:
+        alive = eng.step()
+        steps += 1
+        if steps == 4:  # let the pool warm up before counting
+            tokens_before = _total_tokens(handles)
+            t0 = time.perf_counter()
+        while pending and eng.num_active < args.slots:
+            handles.append(eng.submit(pending.pop(),
+                                      max_new_tokens=args.new_tokens))
+        if not alive and not pending:
+            break
+    dt = time.perf_counter() - t0
+    total = _total_tokens(handles) - tokens_before
+    tps = total / dt
+    print(f"# serve: {total} tokens in {dt:.2f}s over {steps} steps; "
+          f"admission {admit_s * 1000:.1f} ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"serving decode tokens/sec ({args.layers}L/{args.dim}d "
+                  f"multiway decoder, bf16, {args.slots} slots, "
+                  f"continuous batching{', w8' if args.w8 else ''})",
+        "value": round(tps, 1),
+        "unit": "tokens/sec/chip",
+        "admission_ms": round(admit_s * 1000, 1),
+    }))
+
+
+def _total_tokens(handles) -> int:
+    return sum(len(h.tokens) for h in handles)
+
+
+if __name__ == "__main__":
+    main()
