@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=2048)
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--w8", action="store_true")
+    ap.add_argument("--sync-lag", type=int, default=0,
+                    help="host token reads lag K decode steps (pipelines "
+                         "the device->host RTT behind compute)")
     args = ap.parse_args(argv)
 
     import jax
@@ -57,15 +60,19 @@ def main(argv=None):
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=args.slots,
                                   max_prompt_len=args.prompt_len,
-                                  max_len=max_len),
+                                  max_len=max_len + args.sync_lag,
+                                  sync_lag=args.sync_lag),
                       SamplingConfig(greedy=True))
 
-    key = jax.random.PRNGKey(1)
+    import numpy as np
+    rng = np.random.RandomState(1)
 
     def mk_prompt(i):
-        return list(jax.random.randint(jax.random.fold_in(key, i),
-                                       (args.prompt_len,), 4,
-                                       cfg.vocab_size))
+        # host-side prompts: a list of DEVICE scalars here would cost one
+        # tunnel RTT per token when the engine re-uploads them (measured
+        # 3.4 s per 128-token admission)
+        return rng.randint(4, cfg.vocab_size,
+                           size=args.prompt_len).astype(np.int32)
 
     handles = []
     # admission latency: first prefill (compile) then a timed one
@@ -102,7 +109,8 @@ def main(argv=None):
     print(json.dumps({
         "metric": f"serving decode tokens/sec ({args.layers}L/{args.dim}d "
                   f"multiway decoder, bf16, {args.slots} slots, "
-                  f"continuous batching{', w8' if args.w8 else ''})",
+                  f"continuous batching{', w8' if args.w8 else ''}"
+                  f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),

@@ -15,6 +15,7 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kosmosx_tpu.core.config import MagnetoConfig
 from kosmosx_tpu.generate import SamplingConfig
@@ -32,20 +33,20 @@ def main(dim=512, layers=4):
                       ServeConfig(max_batch=4, max_prompt_len=32, max_len=128),
                       SamplingConfig(greedy=True))
 
-    key = jax.random.PRNGKey(1)
+    rng = np.random.RandomState(1)
     handles = []
     for i in range(3):  # initial wave
         lp = 5 + 3 * i
-        prompt = list(jax.random.randint(jax.random.fold_in(key, i), (lp,),
-                                         4, cfg.vocab_size))
+        # host-side prompts (device scalars would cost one tunnel RTT each
+        # at admission re-upload)
+        prompt = rng.randint(4, cfg.vocab_size, size=lp).astype(np.int32)
         handles.append(eng.submit(prompt, max_new_tokens=24))
     t0 = time.perf_counter()
     for _ in range(8):
         eng.step()
     for i in range(3, 6):  # staggered wave while the first is in flight
         lp = 4 + 2 * i
-        prompt = list(jax.random.randint(jax.random.fold_in(key, i), (lp,),
-                                         4, cfg.vocab_size))
+        prompt = rng.randint(4, cfg.vocab_size, size=lp).astype(np.int32)
         handles.append(eng.submit(prompt, max_new_tokens=24))
     steps = eng.run() + 8
     dt = time.perf_counter() - t0

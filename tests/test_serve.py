@@ -130,3 +130,47 @@ def test_engine_multimodal_admission(devices):
                               img, SamplingConfig(max_new_tokens=5,
                                                   greedy=True))
     assert h_mm.tokens == [int(t) for t in np.asarray(ref[0])]
+
+
+@pytest.mark.parametrize("lag", [1, 3])
+def test_engine_sync_lag_matches_sync(params, lag):
+    """Lagged host sync must produce identical greedy outputs (the device
+    feedback loop never depended on the host reads)."""
+    prompts = _prompts(5, key=21)
+    new = 6
+    mk = lambda sl: ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=3, max_prompt_len=16, max_len=48, sync_lag=sl),
+        SamplingConfig(greedy=True))
+    sync_eng, lag_eng = mk(0), mk(lag)
+    sync_h = [sync_eng.submit(p, max_new_tokens=new) for p in prompts]
+    lag_h = [lag_eng.submit(p, max_new_tokens=new) for p in prompts]
+    sync_eng.run()
+    lag_eng.run()
+    for hs, hl in zip(sync_h, lag_h):
+        assert hl.done
+        assert hs.tokens == hl.tokens
+
+
+def test_engine_sync_lag_eos_discards_speculative(params):
+    """With lag, a request hitting EOS must stop at EOS — trailing
+    speculative tokens are discarded."""
+    new = 12
+    eng0 = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=2, max_prompt_len=16, max_len=48, sync_lag=0),
+        SamplingConfig(greedy=True))
+    h0 = eng0.submit(_prompts(1, key=33)[0], max_new_tokens=new)
+    eng0.run()
+    # pick the 3rd greedy token as a synthetic EOS so it triggers mid-stream
+    eos = h0.tokens[2]
+
+    eng = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=2, max_prompt_len=16, max_len=48, sync_lag=2),
+        SamplingConfig(greedy=True))
+    h = eng.submit(_prompts(1, key=33)[0], max_new_tokens=new, eos_id=eos)
+    eng.run()
+    assert h.done
+    assert h.tokens == h0.tokens[:3]  # stops AT the eos token
+    assert len(eng._inflight) == 0
