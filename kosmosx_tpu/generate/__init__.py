@@ -4,6 +4,7 @@ from kosmosx_tpu.generate.sampler import (
     generate_multimodal,
     sample_logits,
 )
+from kosmosx_tpu.generate.speculative import speculative_generate
 
 __all__ = ["SamplingConfig", "generate_text", "generate_multimodal",
-           "sample_logits"]
+           "sample_logits", "speculative_generate"]
