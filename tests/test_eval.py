@@ -90,3 +90,26 @@ def test_token_f1_and_em():
     assert token_f1("x", "y") == 0.0
     assert exact_match("a b", "a b") == 1.0
     assert exact_match("a b", "a c") == 0.0
+
+
+def test_eval_cli_end_to_end(tmp_path):
+    """scripts/eval.py runs on a corpus file and prints a JSON result."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join("alpha beta gamma delta" for _ in range(60)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "eval.py"),
+         "--layers", "1", "--dim", "32", "--ffn-dim", "64", "--heads", "2",
+         "--dtype", "float32", "--data", str(corpus),
+         "--seq-len", "32", "--batch-size", "2", "--max-batches", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "HF_HUB_OFFLINE": "1"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["batches"] == 2 and result["perplexity"] > 1.0
