@@ -35,6 +35,7 @@ _LAZY = {
     "SamplingConfig": "kosmosx_tpu.generate.sampler",
     "generate_text": "kosmosx_tpu.generate.sampler",
     "generate_multimodal": "kosmosx_tpu.generate.sampler",
+    "speculative_generate": "kosmosx_tpu.generate.speculative",
     "Trainer": "kosmosx_tpu.train.trainer",
     "TrainConfig": "kosmosx_tpu.train.trainer",
     "flash_attention": "kosmosx_tpu.ops.flash_attention",
@@ -65,6 +66,7 @@ __all__ = [
     "SamplingConfig",
     "generate_text",
     "generate_multimodal",
+    "speculative_generate",
     "Trainer",
     "TrainConfig",
     "flash_attention",

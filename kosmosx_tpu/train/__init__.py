@@ -1,3 +1,5 @@
+from kosmosx_tpu.train.distill import (distill_draft, distill_loss,
+                                       make_distill_step)
 from kosmosx_tpu.train.loss import next_token_loss
 from kosmosx_tpu.train.optim import (
     make_optimizer,
@@ -7,6 +9,7 @@ from kosmosx_tpu.train.optim import (
 from kosmosx_tpu.train.trainer import TrainConfig, Trainer, TrainState, make_train_step
 
 __all__ = [
+    "distill_draft", "distill_loss", "make_distill_step",
     "next_token_loss",
     "make_optimizer", "make_schedule", "stable_adamw",
     "TrainConfig", "Trainer", "TrainState", "make_train_step",
