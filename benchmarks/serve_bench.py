@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--sync-lag", type=int, default=0,
                     help="host token reads lag K decode steps (pipelines "
                          "the device->host RTT behind compute)")
+    ap.add_argument("--spec-gamma", type=int, default=0,
+                    help="speculative serving: draft proposes K tokens per "
+                         "engine step (needs --draft-layers)")
+    ap.add_argument("--draft-layers", type=int, default=4)
     args = ap.parse_args(argv)
 
     import jax
@@ -56,13 +60,23 @@ def main(argv=None):
         from kosmosx_tpu.utils.quantize import quantize_params_w8
         params = jax.jit(quantize_params_w8)(params)
 
-    max_len = args.prompt_len + args.new_tokens
+    draft_params = draft_cfg = None
+    if args.spec_gamma > 0:
+        import dataclasses
+        draft_cfg = dataclasses.replace(cfg, layers=args.draft_layers)
+        draft_params = init_casted(lambda k: dec.init_decoder(k, draft_cfg),
+                                   jax.random.PRNGKey(7), cfg.dtype)
+    window = ((args.sync_lag + 1) * (args.spec_gamma + 1)
+              if args.spec_gamma else args.sync_lag)
+    max_len = args.prompt_len + args.new_tokens + window
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=args.slots,
                                   max_prompt_len=args.prompt_len,
-                                  max_len=max_len + args.sync_lag,
-                                  sync_lag=args.sync_lag),
-                      SamplingConfig(greedy=True))
+                                  max_len=max_len,
+                                  sync_lag=args.sync_lag,
+                                  spec_gamma=args.spec_gamma),
+                      SamplingConfig(greedy=True),
+                      draft_params=draft_params, draft_cfg=draft_cfg)
 
     import numpy as np
     rng = np.random.RandomState(1)
@@ -106,14 +120,27 @@ def main(argv=None):
     tps = total / dt
     print(f"# serve: {total} tokens in {dt:.2f}s over {steps} steps; "
           f"admission {admit_s * 1000:.1f} ms", file=sys.stderr)
+    if args.spec_gamma:
+        g = args.spec_gamma
+        acc = (eng.accepted_total / max(eng.emitted_total, 1))
+        rounds_per_sec = steps / dt
+        print(f"# speculative: acceptance/token {acc:.3f}, "
+              f"{rounds_per_sec:.1f} rounds/s -> projected "
+              f"{(0.7 * g + 1) * rounds_per_sec * args.slots:.0f} tok/s "
+              f"at 70% trained-draft acceptance", file=sys.stderr)
     print(json.dumps({
         "metric": f"serving decode tokens/sec ({args.layers}L/{args.dim}d "
                   f"multiway decoder, bf16, {args.slots} slots, "
                   f"continuous batching{', w8' if args.w8 else ''}"
-                  f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''})",
+                  f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
+                  f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),
+        **({"rounds_per_sec": round(steps / dt, 2),
+            "acceptance": round(eng.accepted_total
+                                / max(eng.emitted_total, 1), 4)}
+           if args.spec_gamma else {}),
     }))
 
 

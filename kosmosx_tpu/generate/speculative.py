@@ -55,6 +55,84 @@ def _probs(logits, temperature):
     return jax.nn.softmax(logits / jnp.maximum(temperature, 1e-6), axis=-1)
 
 
+def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
+               scfg: SamplingConfig, gamma: int,
+               carry_tok, index, caches_t, caches_d, rng):
+    """One speculative round over a (B,) batch/slot-pool: draft gamma
+    tokens, verify in one chunked target forward, accept.
+
+    Returns ``(emit, n_acc, carry_next, caches_t, caches_d, rng)`` where
+    ``emit`` (B, gamma+1) holds the round's committable tokens
+    (d_1..d_{n_acc}, then the correction/bonus token at position n_acc;
+    entries past that are junk) and ``carry_next`` is the token to feed
+    next round. The caller decides how many to actually commit (done/EOS/
+    budget masking) and must advance ``index`` by that count itself.
+    Shared by speculative_generate and the serving engine.
+    """
+    b = carry_tok.shape[0]
+
+    # Draft gamma tokens via single-token cached steps. The scan runs
+    # gamma+1 steps (last proposal discarded) so the draft cache ends
+    # holding K/V for the WHOLE chunk [carry, d_1..d_gamma]: on full
+    # acceptance the next round starts past d_gamma, and a cache hole there
+    # silently corrupts every later draft (caught by the self-draft
+    # acceptance test).
+    def draft_step(c, r):
+        tok, caches_d, idx = c
+        logits, caches_d = _decode_logits(params_d, cfg_d, tok[:, None],
+                                          caches_d, idx)
+        logits = logits[:, 0]
+        nxt = sample_logits(logits, r, scfg)
+        pd_row = _probs(logits, scfg.temperature)
+        return (nxt, caches_d, idx + 1), (nxt, pd_row)
+
+    rng, rd = jax.random.split(rng)
+    (_, caches_d, _), (d_toks_full, pd_rows) = jax.lax.scan(
+        draft_step, (carry_tok, caches_d, index),
+        jax.random.split(rd, gamma + 1))
+    d_toks_full = jnp.swapaxes(d_toks_full, 0, 1)         # (B, gamma+1)
+    d_toks = d_toks_full[:, :gamma]
+    p_d_all = jnp.swapaxes(pd_rows, 0, 1)                 # (B, gamma+1, V)
+    d_probs = p_d_all[jnp.arange(b)[:, None],
+                      jnp.arange(gamma)[None, :], d_toks]
+
+    # one multi-token target verify over [carry, d_1..d_gamma]
+    chunk = jnp.concatenate([carry_tok[:, None], d_toks], axis=1)
+    logits_t, caches_t = _decode_logits(params_t, cfg_t, chunk,
+                                        caches_t, index)  # (B, g+1, V)
+
+    if scfg.greedy:
+        g = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)   # (B, g+1)
+        match = d_toks == g[:, :gamma]
+        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        corrections = g
+    else:
+        # rejection sampling: accept d_i with prob min(1, p_t/p_d)
+        rng, ra, rr = jax.random.split(rng, 3)
+        p_t_all = _probs(logits_t, scfg.temperature)          # (B, g+1, V)
+        bi = jnp.arange(b)[:, None]
+        p_t = p_t_all[bi, jnp.arange(gamma)[None, :], d_toks]
+        u = jax.random.uniform(ra, (b, gamma))
+        accept = u < jnp.minimum(1.0, p_t / jnp.maximum(d_probs, 1e-20))
+        n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+        # residual distribution at the first rejected position; at the
+        # bonus position (all accepted) the residual degenerates to p_t
+        sel = jnp.minimum(n_acc, gamma)
+        p_t_sel = p_t_all[jnp.arange(b), sel]                 # (B, V)
+        p_d_sel = p_d_all[jnp.arange(b), sel]
+        resid = jnp.maximum(p_t_sel - jnp.where((sel < gamma)[:, None],
+                                                p_d_sel, 0.0), 0.0)
+        resid = resid / jnp.maximum(jnp.sum(resid, -1, keepdims=True), 1e-20)
+        corr = jax.random.categorical(rr, jnp.log(resid + 1e-20), axis=-1
+                                      ).astype(jnp.int32)
+        corrections = jnp.broadcast_to(corr[:, None], (b, gamma + 1))
+
+    carry_next = corrections[jnp.arange(b), jnp.minimum(n_acc, gamma)]
+    emit = jnp.concatenate([d_toks, carry_next[:, None]], axis=1)
+    emit = emit.at[jnp.arange(b), n_acc].set(carry_next)
+    return emit, n_acc, carry_next, caches_t, caches_d, rng
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg_t", "cfg_d", "scfg", "gamma",
                                     "max_len"))
@@ -89,70 +167,9 @@ def _speculative_jit(params_t, params_d, prompt, prompt_lengths, rng,
         out, out_pos, carry_tok, index, caches_t, caches_d, done, rng, \
             n_rounds, n_accepted = state
 
-        # -- draft gamma tokens (single-token cached steps). The scan runs
-        # gamma+1 steps (last proposal discarded) so the draft cache ends
-        # holding K/V for the WHOLE chunk [carry, d_1..d_gamma]: on full
-        # acceptance the next round starts past d_gamma, and a cache hole
-        # there silently corrupts every later draft (caught by the
-        # self-draft acceptance test).
-        def draft_step(c, r):
-            tok, caches_d, idx = c
-            logits, caches_d = _decode_logits(params_d, cfg_d, tok[:, None],
-                                              caches_d, idx)
-            logits = logits[:, 0]
-            nxt = sample_logits(logits, r, scfg)
-            pd_row = _probs(logits, scfg.temperature)
-            return (nxt, caches_d, idx + 1), (nxt, pd_row)
-
-        rng, rd = jax.random.split(rng)
-        (_, caches_d, _), (d_toks_full, pd_rows) = jax.lax.scan(
-            draft_step, (carry_tok, caches_d, index),
-            jax.random.split(rd, gamma + 1))
-        d_toks_full = jnp.swapaxes(d_toks_full, 0, 1)     # (B, gamma+1)
-        d_toks = d_toks_full[:, :gamma]
-        p_d_all = jnp.swapaxes(pd_rows, 0, 1)             # (B, gamma+1, V)
-        d_probs = p_d_all[jnp.arange(b)[:, None],
-                          jnp.arange(gamma)[None, :], d_toks]
-
-        # -- one multi-token target verify over [carry, d_1..d_gamma] --------
-        chunk = jnp.concatenate([carry_tok[:, None], d_toks], axis=1)
-        logits_t, caches_t = _decode_logits(params_t, cfg_t, chunk,
-                                            caches_t, index)   # (B, g+1, V)
-
-        if scfg.greedy:
-            g = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)  # (B, g+1)
-            match = d_toks == g[:, :gamma]
-            n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
-                            axis=1)                              # (B,)
-            corrections = g
-        else:
-            # rejection sampling: accept d_i with prob min(1, p_t/p_d)
-            rng, ra, rr = jax.random.split(rng, 3)
-            p_t_all = _probs(logits_t, scfg.temperature)         # (B,g+1,V)
-            bi = jnp.arange(b)[:, None]
-            p_t = p_t_all[bi, jnp.arange(gamma)[None, :], d_toks]
-            u = jax.random.uniform(ra, (b, gamma))
-            accept = u < jnp.minimum(1.0, p_t / jnp.maximum(d_probs, 1e-20))
-            n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1),
-                            axis=1)
-            # residual distribution at the first rejected position; at the
-            # bonus position (all accepted) the residual degenerates to p_t
-            sel = jnp.minimum(n_acc, gamma)
-            p_t_sel = p_t_all[jnp.arange(b), sel]                # (B, V)
-            p_d_sel = p_d_all[jnp.arange(b), sel]
-            resid = jnp.maximum(p_t_sel - jnp.where((sel < gamma)[:, None],
-                                                    p_d_sel, 0.0), 0.0)
-            resid = resid / jnp.maximum(jnp.sum(resid, -1, keepdims=True),
-                                        1e-20)
-            corr = jax.random.categorical(rr, jnp.log(resid + 1e-20), axis=-1
-                                          ).astype(jnp.int32)
-            corrections = jnp.broadcast_to(corr[:, None], (b, gamma + 1))
-
-        # -- commit d_1..d_n and the correction/bonus token ------------------
-        carry_next = corrections[jnp.arange(b), jnp.minimum(n_acc, gamma)]
-        emit = jnp.concatenate(
-            [d_toks, carry_next[:, None]], axis=1)               # (B, g+1)
-        emit = emit.at[jnp.arange(b), n_acc].set(carry_next)
+        emit, n_acc, carry_next, caches_t, caches_d, rng = spec_round(
+            params_t, params_d, cfg_t, cfg_d, scfg, gamma,
+            carry_tok, index, caches_t, caches_d, rng)
         n_emit = jnp.where(done, 0, n_acc + 1)
 
         # eos truncation: tokens after the first eos in the emitted window

@@ -59,6 +59,13 @@ class ServeConfig:
     # link (measured: ~36 ms fetch vs ~9 ms compute) this takes the step
     # from RTT-bound to compute-bound.
     sync_lag: int = 0
+    # Speculative decoding: when > 0 (and the engine is built with
+    # draft_params/draft_cfg), every engine step runs one speculative round
+    # — the draft proposes spec_gamma tokens per slot, the target verifies
+    # them in ONE chunked forward, and each active slot commits 1..gamma+1
+    # tokens per step. Text-only requests (the draft cannot model image
+    # positions).
+    spec_gamma: int = 0
 
 
 @dataclasses.dataclass
@@ -168,6 +175,26 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
     return nxt, caches, index
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dcfg", "scfg",
+                                             "gamma", "pad_id"))
+def _spec_step_pool_jit(params, dparams, last_tokens, caches, dcaches,
+                        index, active, rng, cfg: MagnetoConfig,
+                        dcfg: MagnetoConfig, scfg: SamplingConfig,
+                        gamma: int, pad_id: int = 1):
+    """One speculative round for every slot (generate.speculative
+    .spec_round over the pool). Inactive slots compute on pad feed; their
+    index does not advance and their emitted tokens are ignored."""
+    from kosmosx_tpu.generate.speculative import spec_round
+
+    last_tokens = jnp.where(active, last_tokens, pad_id)
+    emit, n_acc, carry_next, caches, dcaches, _ = spec_round(
+        params, dparams, cfg, dcfg, scfg, gamma,
+        last_tokens, index, caches, dcaches, rng)
+    n_emit = jnp.where(active, n_acc + 1, 0)
+    index = index + n_emit
+    return emit, n_emit, carry_next, caches, dcaches, index
+
+
 class ServeEngine:
     """Continuous-batching engine over one model replica.
 
@@ -185,6 +212,7 @@ class ServeEngine:
                  sampling: Optional[SamplingConfig] = None,
                  kosmos_cfg: Optional[KosmosConfig] = None,
                  rng: Optional[jax.Array] = None,
+                 draft_params=None, draft_cfg: Optional[MagnetoConfig] = None,
                  interpret: bool = False):
         self.cfg = cfg
         self.kcfg = kosmos_cfg
@@ -206,6 +234,23 @@ class ServeEngine:
         self._active_dev = None          # device copy of the slot-occupancy
         self._next_id = 0                # mask (rebuilt only when it changes)
         self.steps = 0
+        # speculative decoding (ServeConfig.spec_gamma + a draft model)
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.spec = self.scfg.spec_gamma > 0
+        if self.spec:
+            if draft_params is None or draft_cfg is None:
+                raise ValueError("spec_gamma > 0 needs draft_params and "
+                                 "draft_cfg")
+            if self.sampling.top_k > 0 or (not self.sampling.greedy
+                                           and self.sampling.top_p < 1.0):
+                raise NotImplementedError(
+                    "speculative serving supports greedy or plain "
+                    "temperature sampling")
+            self.draft_caches = dec.init_cache(draft_cfg, batch=b,
+                                               max_len=self.scfg.max_len)
+        self.accepted_total = 0   # speculative observability
+        self.emitted_total = 0
 
     # -- request API --------------------------------------------------------
 
@@ -224,9 +269,16 @@ class ServeEngine:
                                  "multimodal requests need one")
             n_img = images.shape[0] if images.ndim == 4 else 1
             extra = n_img * self.kcfg.image_embed_len
-        # sync_lag headroom: EOS/budget detection lags, so a slot can decode
-        # (and cache) up to sync_lag speculative positions past its budget
-        if (len(prompt) + extra + max_new_tokens + self.scfg.sync_lag
+        if images is not None and self.spec:
+            raise NotImplementedError(
+                "speculative serving is text-only (the draft cannot model "
+                "image positions)")
+        # headroom: EOS/budget detection lags sync_lag steps, and each
+        # speculative round writes gamma cache positions past its committed
+        # index, so a slot can touch cache slots past its budget
+        window = ((self.scfg.sync_lag + 1) * (self.scfg.spec_gamma + 1)
+                  if self.spec else self.scfg.sync_lag)
+        if (len(prompt) + extra + max_new_tokens + window
                 > self.scfg.max_len):
             raise ValueError(
                 f"prompt ({len(prompt)}) + image embeds ({extra}) + "
@@ -267,6 +319,13 @@ class ServeEngine:
                 self.sampling, self.scfg.max_len, self.interpret)
             idx = length
         self.caches = _insert_slot_jit(self.caches, c1, slot)
+        if self.spec:
+            _, cd1 = _prefill_one_jit(
+                self.draft_params, prompt, length, self._fold(),
+                self.draft_cfg, self.sampling, self.scfg.max_len,
+                self.interpret)
+            self.draft_caches = _insert_slot_jit(self.draft_caches, cd1,
+                                                 slot)
         self.index = self.index.at[slot].set(idx[0])
         self._active_dev = None
         tok = int(first[0])
@@ -307,22 +366,36 @@ class ServeEngine:
                 self._active_dev = jnp.asarray(
                     [s is not None for s in self.slots], bool)
             active = self._active_dev
-            nxt, self.caches, self.index = _decode_step_jit(
-                self.dec_params, self.last, self.caches, self.index, active,
-                self._fold(), self.cfg, self.sampling,
-                pad_id=self.scfg.pad_id,
-                double_scale=self.double_scale, interpret=self.interpret)
-            # the decode feedback loop stays on DEVICE (last <- nxt):
-            # rebuilding ``last`` host-side would cost a host→device RTT per
-            # token on remote-device setups (measured ~25 ms on the axon
-            # tunnel); inactive slots are masked to pad inside the jit.
-            self.last = nxt
+            if self.spec:
+                emit, n_emit, carry, self.caches, self.draft_caches, \
+                    self.index = _spec_step_pool_jit(
+                        self.dec_params, self.draft_params, self.last,
+                        self.caches, self.draft_caches, self.index, active,
+                        self._fold(), self.cfg, self.draft_cfg,
+                        self.sampling, self.scfg.spec_gamma,
+                        pad_id=self.scfg.pad_id)
+                self.last = carry
+            else:
+                nxt, self.caches, self.index = _decode_step_jit(
+                    self.dec_params, self.last, self.caches, self.index,
+                    active, self._fold(), self.cfg, self.sampling,
+                    pad_id=self.scfg.pad_id,
+                    double_scale=self.double_scale,
+                    interpret=self.interpret)
+                # the decode feedback loop stays on DEVICE (last <- nxt):
+                # rebuilding ``last`` host-side would cost a host→device
+                # RTT per token on remote links (~25 ms on the axon
+                # tunnel); inactive slots are masked to pad inside the jit.
+                self.last = nxt
+                emit, n_emit = nxt[:, None], None  # 1 token per active slot
             self.steps += 1
             try:  # start the device->host copy now; read it sync_lag later
-                nxt.copy_to_host_async()
+                emit.copy_to_host_async()
+                if n_emit is not None:
+                    n_emit.copy_to_host_async()
             except AttributeError:  # backend without async copies
                 pass
-            self._inflight.append((nxt, list(self.slots)))
+            self._inflight.append((emit, n_emit, list(self.slots)))
         # with active slots, keep up to sync_lag reads outstanding; once the
         # pool idles, drain everything
         while len(self._inflight) > (self.scfg.sync_lag
@@ -335,15 +408,23 @@ class ServeEngine:
         """Read back the oldest outstanding step's tokens and bookkeep
         against the slot occupancy AT DISPATCH TIME (a finished request's
         trailing speculative tokens are discarded)."""
-        nxt, snapshot = self._inflight.popleft()
-        toks = [int(t) for t in jax.device_get(nxt)]
+        emit, n_emit, snapshot = self._inflight.popleft()
+        toks = jax.device_get(emit)                       # (B, 1|gamma+1)
+        counts = ([int(n) for n in jax.device_get(n_emit)]
+                  if n_emit is not None
+                  else [1 if r is not None else 0 for r in snapshot])
         for slot, req in enumerate(snapshot):
             if req is None or req.done:
                 continue
-            if len(req.tokens) >= req.max_new_tokens:
-                continue  # speculative overrun past the budget
-            req.tokens.append(toks[slot])
-            self._finish_if_needed(slot, req, toks[slot])
+            for j in range(counts[slot]):
+                if req.done or len(req.tokens) >= req.max_new_tokens:
+                    break  # sync-lag overrun past budget/EOS
+                tok = int(toks[slot, j])
+                req.tokens.append(tok)
+                self.emitted_total += 1
+                self._finish_if_needed(slot, req, tok)
+            if n_emit is not None and counts[slot] > 0:
+                self.accepted_total += counts[slot] - 1
 
     def run(self, max_steps: Optional[int] = None):
         """Drain every pending/in-flight request (bounded by max_steps)."""

@@ -174,3 +174,74 @@ def test_engine_sync_lag_eos_discards_speculative(params):
     assert h.done
     assert h.tokens == h0.tokens[:3]  # stops AT the eos token
     assert len(eng._inflight) == 0
+
+
+DRAFT_CFG = dataclasses.replace(CFG, embed_dim=32, ffn_dim=64, layers=1)
+
+
+@pytest.fixture(scope="module")
+def draft_params():
+    return dec.init_decoder(jax.random.PRNGKey(9), DRAFT_CFG)
+
+
+@pytest.mark.parametrize("lag", [0, 2])
+def test_engine_speculative_matches_plain(params, draft_params, lag):
+    """Speculative serving (any draft) produces the same greedy tokens as
+    the plain engine, for staggered multi-request workloads."""
+    prompts = _prompts(5, key=41)
+    new = 8
+
+    def run(spec):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
+                        sync_lag=lag, spec_gamma=3 if spec else 0),
+            SamplingConfig(greedy=True),
+            draft_params=draft_params if spec else None,
+            draft_cfg=DRAFT_CFG if spec else None)
+        hs = [eng.submit(p, max_new_tokens=new) for p in prompts]
+        eng.run()
+        return hs
+
+    plain = run(False)
+    spec = run(True)
+    for hp, hsp in zip(plain, spec):
+        assert hsp.done
+        assert hp.tokens == hsp.tokens
+
+
+def test_engine_speculative_self_draft_accepts(params):
+    """Draft == target: every proposal accepted, so steps collapse and the
+    acceptance counter reflects it."""
+    eng = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=2, max_prompt_len=16, max_len=64,
+                    spec_gamma=3),
+        SamplingConfig(greedy=True),
+        draft_params=params, draft_cfg=CFG)
+    h = eng.submit(_prompts(1, key=43)[0], max_new_tokens=12)
+    steps = eng.run()
+    assert h.done and len(h.tokens) == 12
+    assert steps <= 5  # ~12/(gamma+1)=3 productive rounds + admission slack
+    assert eng.accepted_total > 0
+
+
+def test_engine_speculative_eos(params, draft_params):
+    probe = ServeEngine(params, CFG,
+                        ServeConfig(max_batch=1, max_prompt_len=16,
+                                    max_len=64),
+                        SamplingConfig(greedy=True))
+    h0 = probe.submit(_prompts(1, key=47)[0], max_new_tokens=10)
+    probe.run()
+    eos = h0.tokens[3]
+
+    eng = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=1, max_prompt_len=16, max_len=64,
+                    spec_gamma=2, sync_lag=1),
+        SamplingConfig(greedy=True),
+        draft_params=draft_params, draft_cfg=DRAFT_CFG)
+    h = eng.submit(_prompts(1, key=47)[0], max_new_tokens=10, eos_id=eos)
+    eng.run()
+    assert h.done
+    assert h.tokens == h0.tokens[:4]
