@@ -98,6 +98,7 @@ void ksx_pad_rows(const int32_t* flat, const int64_t* lens, int64_t n_rows,
 // pre-materialized datasets.)
 void ksx_shift_labels(const int32_t* ids, int64_t n_rows, int64_t width,
                       int32_t pad_id, int32_t ignore_id, int32_t* out) {
+  if (width <= 0) return;
   for (int64_t r = 0; r < n_rows; ++r) {
     const int32_t* row = ids + r * width;
     int32_t* dst = out + r * width;

@@ -42,10 +42,19 @@ from kosmosx_tpu.generate.sampler import SamplingConfig, _prefill, sample_logits
 from kosmosx_tpu.nn import decoder as dec
 
 
-def _decode_logits(params, cfg: MagnetoConfig, tokens, caches, index):
+def _decode_logits(params, cfg: MagnetoConfig, tokens, caches, index,
+                   double_scale: bool = False):
     """Cached forward of ``tokens`` (B, L) at per-batch ``index`` (B,).
-    Returns (logits (B, L, V), caches)."""
-    x, _ = dec.forward_embedding(params, cfg, tokens, offset=index[:, None])
+    Returns (logits (B, L, V), caches). ``double_scale`` replicates the
+    reference Kosmos embedding quirk (SURVEY.md §2.6.1) so speculative
+    serving of a parity-mode Kosmos matches its plain decode path."""
+    if double_scale:
+        emb = dec.embed_only(params, cfg, tokens)
+        x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
+                                     offset=index[:, None])
+    else:
+        x, _ = dec.forward_embedding(params, cfg, tokens,
+                                     offset=index[:, None])
     h, caches = dec.run_layers(params, x, cfg, caches=caches,
                                cache_index=index)
     return dec.output_logits(params, h, cfg).astype(jnp.float32), caches
@@ -57,7 +66,8 @@ def _probs(logits, temperature):
 
 def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
                scfg: SamplingConfig, gamma: int,
-               carry_tok, index, caches_t, caches_d, rng):
+               carry_tok, index, caches_t, caches_d, rng,
+               double_scale_t: bool = False):
     """One speculative round over a (B,) batch/slot-pool: draft gamma
     tokens, verify in one chunked target forward, accept.
 
@@ -99,7 +109,8 @@ def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
     # one multi-token target verify over [carry, d_1..d_gamma]
     chunk = jnp.concatenate([carry_tok[:, None], d_toks], axis=1)
     logits_t, caches_t = _decode_logits(params_t, cfg_t, chunk,
-                                        caches_t, index)  # (B, g+1, V)
+                                        caches_t, index,
+                                        double_scale_t)  # (B, g+1, V)
 
     if scfg.greedy:
         g = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)   # (B, g+1)
@@ -165,7 +176,7 @@ def _speculative_jit(params_t, params_d, prompt, prompt_lengths, rng,
 
     def round_body(state):
         out, out_pos, carry_tok, index, caches_t, caches_d, done, rng, \
-            n_rounds, n_accepted = state
+            n_rounds, n_accepted, n_proposed = state
 
         emit, n_acc, carry_next, caches_t, caches_d, rng = spec_round(
             params_t, params_d, cfg_t, cfg_d, scfg, gamma,
@@ -197,17 +208,21 @@ def _speculative_jit(params_t, params_d, prompt, prompt_lengths, rng,
             done = done | hit
         done = done | (out_pos >= scfg.max_new_tokens)
         carry_tok = jnp.where(done, carry_tok, carry_next)
+        running = jnp.sum((~done).astype(jnp.int32))
         return (out, out_pos, carry_tok, index, caches_t, caches_d, done,
-                rng, n_rounds + 1, n_accepted + jnp.sum(n_acc))
+                rng, n_rounds + 1,
+                n_accepted + jnp.sum(jnp.where(done, 0, n_acc)),
+                n_proposed + running * gamma)
 
     def cond(state):
         return ~jnp.all(state[6])
 
     state = (out, out_pos, carry_tok, index, caches_t, caches_d, done, rng,
-             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+             jnp.zeros((), jnp.int32))
     state = jax.lax.while_loop(cond, round_body, state)
-    out, _, _, _, _, _, _, _, n_rounds, n_accepted = state
-    return out, n_rounds, n_accepted
+    out, n_rounds, n_accepted, n_proposed = state[0], state[8], state[9], state[10]
+    return out, n_rounds, n_accepted, n_proposed
 
 
 def speculative_generate(params_target, params_draft, cfg_target: MagnetoConfig,
@@ -241,9 +256,8 @@ def speculative_generate(params_target, params_draft, cfg_target: MagnetoConfig,
                 f"prompt + max_new_tokens + gamma = {max_len} exceeds the "
                 f"position table ({cfg.max_target_positions}); raise "
                 f"max_positions")
-    out, n_rounds, n_accepted = _speculative_jit(
+    out, n_rounds, n_accepted, n_proposed = _speculative_jit(
         params_target, params_draft, prompt, prompt_lengths, rng,
         cfg_target, cfg_draft, sampling, int(gamma), int(max_len))
-    rounds = int(n_rounds)
-    return out, {"rounds": rounds, "accepted": int(n_accepted),
-                 "proposed": rounds * int(gamma) * b}
+    return out, {"rounds": int(n_rounds), "accepted": int(n_accepted),
+                 "proposed": int(n_proposed)}

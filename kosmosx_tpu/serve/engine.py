@@ -150,7 +150,8 @@ def _insert_slot_jit(caches, caches_one, slot):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "pad_id",
-                                             "double_scale", "interpret"))
+                                             "double_scale", "interpret"),
+                   donate_argnums=(2,))  # in-place cache scatter, no pool copy
 def _decode_step_jit(params, last_tokens, caches, index, active, rng,
                      cfg: MagnetoConfig, scfg: SamplingConfig,
                      pad_id: int = 1, double_scale: bool = False,
@@ -176,11 +177,14 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dcfg", "scfg",
-                                             "gamma", "pad_id"))
+                                             "gamma", "pad_id",
+                                             "double_scale"),
+                   donate_argnums=(3, 4))  # in-place cache scatters
 def _spec_step_pool_jit(params, dparams, last_tokens, caches, dcaches,
                         index, active, rng, cfg: MagnetoConfig,
                         dcfg: MagnetoConfig, scfg: SamplingConfig,
-                        gamma: int, pad_id: int = 1):
+                        gamma: int, pad_id: int = 1,
+                        double_scale: bool = False):
     """One speculative round for every slot (generate.speculative
     .spec_round over the pool). Inactive slots compute on pad feed; their
     index does not advance and their emitted tokens are ignored."""
@@ -189,7 +193,8 @@ def _spec_step_pool_jit(params, dparams, last_tokens, caches, dcaches,
     last_tokens = jnp.where(active, last_tokens, pad_id)
     emit, n_acc, carry_next, caches, dcaches, _ = spec_round(
         params, dparams, cfg, dcfg, scfg, gamma,
-        last_tokens, index, caches, dcaches, rng)
+        last_tokens, index, caches, dcaches, rng,
+        double_scale_t=double_scale)
     n_emit = jnp.where(active, n_acc + 1, 0)
     index = index + n_emit
     return emit, n_emit, carry_next, caches, dcaches, index
@@ -256,7 +261,13 @@ class ServeEngine:
 
     def submit(self, prompt, max_new_tokens: int = 64,
                eos_id: Optional[int] = None, images=None) -> Request:
-        prompt = list(int(t) for t in prompt)
+        import numpy as np
+
+        # ONE host fetch for device-array prompts: per-element int() on a
+        # jax array costs one link RTT per token (~3.4 s / 128 tokens on
+        # the tunnel, measured)
+        prompt = [int(t) for t in
+                  np.asarray(jax.device_get(prompt), np.int64).ravel()]
         if not prompt:
             raise ValueError("empty prompt")
         if len(prompt) > self.scfg.max_prompt_len:
@@ -300,9 +311,7 @@ class ServeEngine:
         import numpy as np
 
         p = self.scfg.max_prompt_len
-        # normalize host-side first: list / numpy / device array all work
-        # (and a list of device scalars degrades gracefully to one fetch)
-        praw = np.asarray(jax.device_get(req.prompt), np.int32).ravel()
+        praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
         prompt = jnp.asarray(
             np.pad(praw, (0, p - len(praw)),
                    constant_values=self.scfg.pad_id))[None, :]
@@ -373,7 +382,8 @@ class ServeEngine:
                         self.caches, self.draft_caches, self.index, active,
                         self._fold(), self.cfg, self.draft_cfg,
                         self.sampling, self.scfg.spec_gamma,
-                        pad_id=self.scfg.pad_id)
+                        pad_id=self.scfg.pad_id,
+                        double_scale=self.double_scale)
                 self.last = carry
             else:
                 nxt, self.caches, self.index = _decode_step_jit(
@@ -416,15 +426,19 @@ class ServeEngine:
         for slot, req in enumerate(snapshot):
             if req is None or req.done:
                 continue
+            committed = 0
             for j in range(counts[slot]):
                 if req.done or len(req.tokens) >= req.max_new_tokens:
                     break  # sync-lag overrun past budget/EOS
                 tok = int(toks[slot, j])
                 req.tokens.append(tok)
                 self.emitted_total += 1
+                committed += 1
                 self._finish_if_needed(slot, req, tok)
-            if n_emit is not None and counts[slot] > 0:
-                self.accepted_total += counts[slot] - 1
+            if n_emit is not None and committed > 0:
+                # draft tokens actually banked this round (the +1 is the
+                # target's own correction/bonus token)
+                self.accepted_total += committed - 1
 
     def run(self, max_steps: Optional[int] = None):
         """Drain every pending/in-flight request (bounded by max_steps)."""

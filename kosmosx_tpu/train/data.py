@@ -74,28 +74,48 @@ def device_prefetch(iterator: Iterable, place_fn,
     FSDP forward_prefetch (/root/reference/train.py:196-197); on TPU the
     device side is async already, so one thread hiding the host-side copy
     is all that's needed. Exceptions from the worker re-raise at the
-    consumption point."""
+    consumption point.
+
+    Prefetching inherently reads ahead: callers that stop early should
+    bound ``iterator`` to exactly the items they will consume (Trainer.run
+    does), or accept up to ``depth+1`` extra items being pulled. Closing
+    the generator (break / gc) stops the worker thread promptly instead of
+    leaving it blocked on a full queue."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def _put(payload) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(payload, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(("item", place_fn(item)))
-            q.put(("done", None))
+                if stop.is_set() or not _put(("item", place_fn(item))):
+                    return
+            _put(("done", None))
         except BaseException as e:  # re-raised on the consumer thread
-            q.put(("error", e))
+            _put(("error", e))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        kind, payload = q.get()
-        if kind == "done":
-            return
-        if kind == "error":
-            raise payload
-        yield payload
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                return
+            if kind == "error":
+                raise payload
+            yield payload
+    finally:
+        stop.set()
 
 
 def text_file_stream(paths: Sequence[str], tokenizer) -> Iterator[List[int]]:

@@ -234,18 +234,23 @@ class Trainer:
         metrics = {}
         n = 0
 
-        def _skipped():
+        def _bounded():
+            # bound BEFORE the prefetcher so it never reads past what this
+            # run will consume (a shared iterator must not lose batches to
+            # read-ahead when `steps` caps the run)
+            yielded = 0
             for i, b in enumerate(batches):
                 if i < start_step:  # skip_first_batches equiv (train.py:636)
                     continue
+                if steps is not None and yielded >= steps:
+                    return
                 yield i, b
+                yielded += 1
 
         from kosmosx_tpu.train.data import device_prefetch
         stream = device_prefetch(
-            _skipped(), lambda ib: (ib[0], self.shard_batch(ib[1])))
+            _bounded(), lambda ib: (ib[0], self.shard_batch(ib[1])))
         for i, batch in stream:
-            if steps is not None and n >= steps:
-                break
             self.state, metrics = self._step_fn(self.state, batch)
             n += 1
             step_no = int(i) + 1
