@@ -224,3 +224,27 @@ def test_multimodal_loss_boundary_alignment(devices):
     loss, m = multimodal_next_token_loss(logits, text, k, s, pad_id=1)
     assert float(m["accuracy"]) == 1.0
     assert float(loss) < 0.01
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """scripts/train.py runs a few steps (synthetic data, checkpoint out)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = tmp_path / "ckpt"
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "train.py"),
+         "--model", "language", "--synthetic", "--layers", "1",
+         "--dim", "32", "--ffn-dim", "64", "--heads", "2",
+         "--vocab-size", "97", "--max-positions", "64",
+         "--dtype", "float32", "--no-flash", "--batch-size", "2",
+         "--seq-len", "16", "--steps", "6", "--log-every", "2",
+         "--checkpoint-every", "4", "--output-dir", str(out_dir),
+         "--optimizer", "adamw", "--data", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "HF_HUB_OFFLINE": "1",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
+    assert (out_dir / "step_4").exists()  # reference checkpoints/step_{n}
