@@ -39,6 +39,9 @@ def main(argv=None):
                     help="speculative serving: draft proposes K tokens per "
                          "engine step (needs --draft-layers)")
     ap.add_argument("--draft-layers", type=int, default=4)
+    ap.add_argument("--multimodal", action="store_true",
+                    help="image+text requests through the full Kosmos "
+                         "flagship (CLIP + resampler at admission)")
     args = ap.parse_args(argv)
 
     import jax
@@ -54,8 +57,21 @@ def main(argv=None):
                         layers=args.layers, heads=args.dim // 64,
                         max_positions=8194, compute_dtype="bfloat16",
                         scan_layers=True, dropout=0.0, attention_dropout=0.0)
-    params = init_casted(lambda k: dec.init_decoder(k, cfg),
-                         jax.random.PRNGKey(0), cfg.dtype)
+    kcfg = None
+    if args.multimodal:
+        from kosmosx_tpu.core.config import (KosmosConfig, ResamplerConfig,
+                                             VisionConfig)
+        from kosmosx_tpu.models.kosmos import Kosmos
+
+        kcfg = KosmosConfig(decoder=cfg,
+                            vision=VisionConfig(compute_dtype="bfloat16"),
+                            resampler=ResamplerConfig(
+                                compute_dtype="bfloat16"))
+        params = init_casted(lambda k: Kosmos.init(k, kcfg),
+                             jax.random.PRNGKey(0), cfg.dtype)
+    else:
+        params = init_casted(lambda k: dec.init_decoder(k, cfg),
+                             jax.random.PRNGKey(0), cfg.dtype)
     if args.w8:
         from kosmosx_tpu.utils.quantize import quantize_params_w8
         params = jax.jit(quantize_params_w8)(params)
@@ -68,7 +84,8 @@ def main(argv=None):
                                    jax.random.PRNGKey(7), cfg.dtype)
     window = ((args.sync_lag + 1) * (args.spec_gamma + 1)
               if args.spec_gamma else args.sync_lag)
-    max_len = args.prompt_len + args.new_tokens + window
+    extra = kcfg.image_embed_len if kcfg is not None else 0
+    max_len = args.prompt_len + extra + args.new_tokens + window
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=args.slots,
                                   max_prompt_len=args.prompt_len,
@@ -76,6 +93,7 @@ def main(argv=None):
                                   sync_lag=args.sync_lag,
                                   spec_gamma=args.spec_gamma),
                       SamplingConfig(greedy=True),
+                      kosmos_cfg=kcfg,
                       draft_params=draft_params, draft_cfg=draft_cfg)
 
     import numpy as np
@@ -88,19 +106,30 @@ def main(argv=None):
         return rng.randint(4, cfg.vocab_size,
                            size=args.prompt_len).astype(np.int32)
 
+    def mk_images(i):
+        if kcfg is None:
+            return None
+        return rng.rand(1, 3, kcfg.vision.image_size,
+                        kcfg.vision.image_size).astype(np.float32)
+
     handles = []
     # admission latency: first prefill (compile) then a timed one
-    handles.append(eng.submit(mk_prompt(0), max_new_tokens=args.new_tokens))
+    handles.append(eng.submit(mk_prompt(0), max_new_tokens=args.new_tokens,
+                              images=mk_images(0)))
     eng.step()  # compiles prefill+decode programs
     t0 = time.perf_counter()
-    handles.append(eng.submit(mk_prompt(1), max_new_tokens=args.new_tokens))
+    handles.append(eng.submit(mk_prompt(1), max_new_tokens=args.new_tokens,
+                              images=mk_images(1)))
     eng.step()
     admit_s = time.perf_counter() - t0
 
     # fill the pool and keep it full; measure steady-state decode
-    pending = [mk_prompt(i) for i in range(2, args.requests)]
+    pending = [(mk_prompt(i), mk_images(i))
+               for i in range(2, args.requests)]
     while len(handles) < args.slots and pending:
-        handles.append(eng.submit(pending.pop(), max_new_tokens=args.new_tokens))
+        p, im = pending.pop()
+        handles.append(eng.submit(p, max_new_tokens=args.new_tokens,
+                                  images=im))
     t0 = time.perf_counter()
     tokens_before = 0
     steps = 0
@@ -111,8 +140,9 @@ def main(argv=None):
             tokens_before = _total_tokens(handles)
             t0 = time.perf_counter()
         while pending and eng.num_active < args.slots:
-            handles.append(eng.submit(pending.pop(),
-                                      max_new_tokens=args.new_tokens))
+            p, im = pending.pop()
+            handles.append(eng.submit(p, max_new_tokens=args.new_tokens,
+                                      images=im))
         if not alive and not pending:
             break
     dt = time.perf_counter() - t0
@@ -130,7 +160,9 @@ def main(argv=None):
               f"at 70% trained-draft acceptance", file=sys.stderr)
     print(json.dumps({
         "metric": f"serving decode tokens/sec ({args.layers}L/{args.dim}d "
-                  f"multiway decoder, bf16, {args.slots} slots, "
+                  f"multiway decoder"
+                  f"{' + CLIP ViT-L/14 + resampler' if kcfg else ''}, "
+                  f"bf16, {args.slots} slots, "
                   f"continuous batching{', w8' if args.w8 else ''}"
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''})",
