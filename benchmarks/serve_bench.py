@@ -39,6 +39,9 @@ def main(argv=None):
                     help="speculative serving: draft proposes K tokens per "
                          "engine step (needs --draft-layers)")
     ap.add_argument("--draft-layers", type=int, default=4)
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="stream prompts in K-token chunks interleaved "
+                         "with decode (bounds admission stall)")
     ap.add_argument("--multimodal", action="store_true",
                     help="image+text requests through the full Kosmos "
                          "flagship (CLIP + resampler at admission)")
@@ -91,7 +94,8 @@ def main(argv=None):
                                   max_prompt_len=args.prompt_len,
                                   max_len=max_len,
                                   sync_lag=args.sync_lag,
-                                  spec_gamma=args.spec_gamma),
+                                  spec_gamma=args.spec_gamma,
+                                  prefill_chunk=args.prefill_chunk),
                       SamplingConfig(greedy=True),
                       kosmos_cfg=kcfg,
                       draft_params=draft_params, draft_cfg=draft_cfg)
@@ -165,7 +169,8 @@ def main(argv=None):
                   f"bf16, {args.slots} slots, "
                   f"continuous batching{', w8' if args.w8 else ''}"
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
-                  f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''})",
+                  f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
+                  f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),

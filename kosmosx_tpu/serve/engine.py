@@ -66,6 +66,13 @@ class ServeConfig:
     # tokens per step. Text-only requests (the draft cannot model image
     # positions).
     spec_gamma: int = 0
+    # Chunked prefill: when > 0, text-request admission does NO prefill
+    # work up front; the engine ingests the prompt prefill_chunk tokens per
+    # step through a pooled multi-token cached forward, interleaved with
+    # the decode steps of in-flight slots. Bounds the admission stall for
+    # long prompts to one chunk per step instead of one full prompt
+    # (text-only; multimodal admissions keep the one-shot path).
+    prefill_chunk: int = 0
 
 
 @dataclasses.dataclass
@@ -200,6 +207,41 @@ def _spec_step_pool_jit(params, dparams, last_tokens, caches, dcaches,
     return emit, n_emit, carry_next, caches, dcaches, index
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "double_scale"),
+                   donate_argnums=(3,))
+def _prefill_chunk_pool_jit(params, tokens, seg, caches, index, prefill_mask,
+                            boundary, rng, cfg: MagnetoConfig,
+                            scfg: SamplingConfig,
+                            double_scale: bool = False):
+    """Ingest one prompt chunk for every prefilling slot.
+
+    tokens (B, K) — the next K prompt tokens per prefilling slot (pads
+    elsewhere); seg (B, K) — 0 for real tokens, -1 for pads (invalid
+    positions' K/V are zeroed before the cache scatter; causal masking +
+    boundary selection make them harmless); boundary (B,) — index of the
+    last real token within the chunk. Returns (sampled boundary token,
+    caches, advanced index). Non-prefilling slots are untouched: zero
+    valid tokens, index unchanged (their not-yet-reached cache positions
+    get zeroed, which decode overwrites before ever attending to them).
+    """
+    if double_scale:
+        emb = dec.embed_only(params, cfg, tokens)
+        x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
+                                     offset=index[:, None])
+    else:
+        x, _ = dec.forward_embedding(params, cfg, tokens,
+                                     offset=index[:, None])
+    h, caches = dec.run_layers(params, x, cfg, caches=caches,
+                               cache_index=index, segment_ids=seg)
+    logits = dec.output_logits(params, h, cfg)
+    blog = jnp.take_along_axis(logits, boundary[:, None, None],
+                               axis=1)[:, 0].astype(jnp.float32)
+    first = sample_logits(blog, rng, scfg)
+    n_valid = jnp.sum((seg >= 0).astype(jnp.int32), axis=1)
+    index = index + jnp.where(prefill_mask, n_valid, 0)
+    return first, caches, index
+
+
 class ServeEngine:
     """Continuous-batching engine over one model replica.
 
@@ -256,6 +298,19 @@ class ServeEngine:
                                                max_len=self.scfg.max_len)
         self.accepted_total = 0   # speculative observability
         self.emitted_total = 0
+        # chunked prefill (ServeConfig.prefill_chunk)
+        self.chunked = self.scfg.prefill_chunk > 0
+        if self.chunked:
+            if self.spec:
+                raise NotImplementedError(
+                    "chunked prefill + speculative serving is not "
+                    "implemented (the draft pool would need chunked "
+                    "ingestion too)")
+            import numpy as _np
+            self._prompt_rows = _np.full(
+                (b, self.scfg.max_prompt_len), self.scfg.pad_id, _np.int32)
+            self._pf_pos = [-1] * b    # -1 = not prefilling
+            self._pf_len = [0] * b
 
     # -- request API --------------------------------------------------------
 
@@ -312,6 +367,17 @@ class ServeEngine:
 
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
+        if self.chunked and req.images is None:
+            # no device work now: the prompt streams in chunk-by-chunk via
+            # _advance_prefill, interleaved with other slots' decode steps
+            self._prompt_rows[slot, :] = self.scfg.pad_id
+            self._prompt_rows[slot, :len(praw)] = praw
+            self._pf_pos[slot] = 0
+            self._pf_len[slot] = len(praw)
+            self.index = self.index.at[slot].set(0)
+            self.slots[slot] = req
+            self._active_dev = None
+            return
         prompt = jnp.asarray(
             np.pad(praw, (0, p - len(praw)),
                    constant_values=self.scfg.pad_id))[None, :]
@@ -363,6 +429,59 @@ class ServeEngine:
     def num_active(self) -> int:
         return sum(s is not None for s in self.slots)
 
+    def _is_prefilling(self, slot: int) -> bool:
+        return self.chunked and self._pf_pos[slot] >= 0
+
+    @property
+    def num_decoding(self) -> int:
+        return sum(s is not None and not self._is_prefilling(i)
+                   for i, s in enumerate(self.slots))
+
+    def _advance_prefill(self):
+        """Ingest one chunk for every prefilling slot; slots whose prompt
+        completes sample their first token and switch to decoding."""
+        import numpy as np
+
+        K = self.scfg.prefill_chunk
+        b = self.scfg.max_batch
+        chunk = np.full((b, K), self.scfg.pad_id, np.int32)
+        seg = np.full((b, K), -1, np.int32)
+        boundary = np.zeros((b,), np.int32)
+        mask = np.zeros((b,), bool)
+        completing = []
+        for slot in range(b):
+            pos = self._pf_pos[slot]
+            if pos < 0:
+                continue
+            plen = self._pf_len[slot]
+            n = min(K, plen - pos)
+            chunk[slot, :n] = self._prompt_rows[slot, pos:pos + n]
+            seg[slot, :n] = 0
+            boundary[slot] = n - 1
+            mask[slot] = True
+            if pos + n >= plen:
+                completing.append(slot)
+        first, self.caches, self.index = _prefill_chunk_pool_jit(
+            self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
+            self.caches, self.index, jnp.asarray(mask),
+            jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
+            double_scale=self.double_scale)
+        if completing:
+            toks = jax.device_get(first)
+            for slot in completing:
+                req = self.slots[slot]
+                tok = int(toks[slot])
+                self.last = self.last.at[slot].set(tok)
+                self._pf_pos[slot] = -1
+                self._active_dev = None
+                if req is not None:
+                    req.tokens.append(tok)
+                    self.emitted_total += 1
+                    self._finish_if_needed(slot, req, tok)
+        for slot in range(b):
+            if self._pf_pos[slot] >= 0 and slot not in completing:
+                self._pf_pos[slot] += K
+
     def step(self) -> bool:
         """Admit pending requests into free slots, advance every active slot
         one token, and read back tokens (``sync_lag`` steps behind the
@@ -370,10 +489,13 @@ class ServeEngine:
         for slot in range(self.scfg.max_batch):
             if self.slots[slot] is None and self.pending:
                 self._admit(slot, self.pending.popleft())
-        if self.num_active > 0:
+        if self.chunked and any(p >= 0 for p in self._pf_pos):
+            self._advance_prefill()
+        if self.num_decoding > 0:
             if self._active_dev is None:  # occupancy changed since last step
                 self._active_dev = jnp.asarray(
-                    [s is not None for s in self.slots], bool)
+                    [s is not None and not self._is_prefilling(i)
+                     for i, s in enumerate(self.slots)], bool)
             active = self._active_dev
             if self.spec:
                 emit, n_emit, carry, self.caches, self.draft_caches, \
@@ -397,11 +519,16 @@ class ServeEngine:
                 # RTT per token on remote links (~25 ms on the axon
                 # tunnel); inactive slots are masked to pad inside the jit.
                 self.last = nxt
-                emit, n_emit = nxt[:, None], None  # 1 token per active slot
+                # one token per slot that was ACTIVE in this dispatch
+                # (occupied-but-prefilling slots must not be credited)
+                emit = nxt[:, None]
+                n_emit = [1 if (self.slots[i] is not None
+                                and not self._is_prefilling(i)) else 0
+                          for i in range(self.scfg.max_batch)]
             self.steps += 1
             try:  # start the device->host copy now; read it sync_lag later
                 emit.copy_to_host_async()
-                if n_emit is not None:
+                if hasattr(n_emit, "copy_to_host_async"):
                     n_emit.copy_to_host_async()
             except AttributeError:  # backend without async copies
                 pass
@@ -420,9 +547,8 @@ class ServeEngine:
         trailing speculative tokens are discarded)."""
         emit, n_emit, snapshot = self._inflight.popleft()
         toks = jax.device_get(emit)                       # (B, 1|gamma+1)
-        counts = ([int(n) for n in jax.device_get(n_emit)]
-                  if n_emit is not None
-                  else [1 if r is not None else 0 for r in snapshot])
+        counts = (n_emit if isinstance(n_emit, list)
+                  else [int(n) for n in jax.device_get(n_emit)])
         for slot, req in enumerate(snapshot):
             if req is None or req.done:
                 continue
@@ -435,7 +561,7 @@ class ServeEngine:
                 self.emitted_total += 1
                 committed += 1
                 self._finish_if_needed(slot, req, tok)
-            if n_emit is not None and committed > 0:
+            if self.spec and committed > 0:
                 # draft tokens actually banked this round (the +1 is the
                 # target's own correction/bonus token)
                 self.accepted_total += committed - 1

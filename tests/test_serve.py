@@ -245,3 +245,59 @@ def test_engine_speculative_eos(params, draft_params):
     eng.run()
     assert h.done
     assert h.tokens == h0.tokens[:4]
+
+
+@pytest.mark.parametrize("chunk,lag", [(4, 0), (5, 2), (16, 0)])
+def test_engine_chunked_prefill_matches_plain(params, chunk, lag):
+    """Chunked prompt ingestion must not change any greedy output — even
+    with ragged lengths, slot reuse, and decode interleaved mid-prefill."""
+    prompts = _prompts(6, key=61)
+    new = 7
+
+    def run(chunked):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_batch=3, max_prompt_len=16, max_len=48,
+                        sync_lag=lag,
+                        prefill_chunk=chunk if chunked else 0),
+            SamplingConfig(greedy=True))
+        hs = []
+        # stagger: submit some late so they prefill while others decode
+        for p in prompts[:3]:
+            hs.append(eng.submit(p, max_new_tokens=new))
+        eng.step()
+        eng.step()
+        for p in prompts[3:]:
+            hs.append(eng.submit(p, max_new_tokens=new))
+        eng.run()
+        return hs
+
+    plain = run(False)
+    chunked = run(True)
+    for hp, hc in zip(plain, chunked):
+        assert hc.done
+        assert hp.tokens == hc.tokens
+
+
+def test_engine_chunked_prefill_interleaves(params):
+    """A long-prompt admission must not stall an in-flight decode: the
+    decoding request keeps emitting one token per step while the other
+    slot's prompt streams in."""
+    eng = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=2, max_prompt_len=16, max_len=48,
+                    prefill_chunk=2),
+        SamplingConfig(greedy=True))
+    short = eng.submit(_prompts(1, key=71)[0][:3], max_new_tokens=10)
+    # let `short` finish its prefill (2 chunks) and start decoding
+    eng.step()
+    eng.step()
+    emitted_before = len(short.tokens)
+    long_req = eng.submit(list(_prompts(1, key=72)[0]) * 2, max_new_tokens=4)
+    for _ in range(3):
+        eng.step()
+    # the decoding slot advanced every step despite the other slot prefilling
+    assert len(short.tokens) >= emitted_before + 3
+    assert not long_req.done
+    eng.run()
+    assert short.done and long_req.done
