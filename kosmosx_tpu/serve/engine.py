@@ -92,16 +92,24 @@ class Request:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "max_len",
-                                             "interpret"))
+                                             "double_scale", "interpret"))
 def _prefill_one_jit(params, prompt, length, rng, cfg: MagnetoConfig,
                      scfg: SamplingConfig, max_len: int,
-                     interpret: bool = False):
-    """prompt (1, P) -> (first_token (1,), batch-1 caches)."""
+                     double_scale: bool = False, interpret: bool = False):
+    """prompt (1, P) -> (first_token (1,), batch-1 caches).
+
+    ``double_scale`` must match the engine's decode convention (the Kosmos
+    parity quirk) or the prompt and the decoded tokens are embedded at
+    different scales."""
     caches = dec.init_cache(cfg, batch=1, max_len=max_len)
     lp = prompt.shape[1]
     seg = jnp.where(jnp.arange(lp)[None, :] < length[:, None], 0, -1
                     ).astype(jnp.int32)
-    x, _ = dec.forward_embedding(params, cfg, prompt)
+    if double_scale:
+        emb = dec.embed_only(params, cfg, prompt)
+        x, _ = dec.forward_embedding(params, cfg, token_embedding=emb)
+    else:
+        x, _ = dec.forward_embedding(params, cfg, prompt)
     last_logits, caches = _prefill(params, cfg, x, caches, length, seg,
                                    interpret=interpret)
     first = sample_logits(last_logits, rng, scfg)
@@ -233,9 +241,12 @@ def _prefill_chunk_pool_jit(params, tokens, seg, caches, index, prefill_mask,
                                      offset=index[:, None])
     h, caches = dec.run_layers(params, x, cfg, caches=caches,
                                cache_index=index, segment_ids=seg)
-    logits = dec.output_logits(params, h, cfg)
-    blog = jnp.take_along_axis(logits, boundary[:, None, None],
-                               axis=1)[:, 0].astype(jnp.float32)
+    # only the boundary position's logits are ever used: slice the hidden
+    # state first so the vocab projection is (B, 1, D), not (B, K, D)
+    hb = jnp.take_along_axis(
+        h, jnp.broadcast_to(boundary[:, None, None],
+                            (h.shape[0], 1, h.shape[2])), axis=1)
+    blog = dec.output_logits(params, hb, cfg)[:, 0].astype(jnp.float32)
     first = sample_logits(blog, rng, scfg)
     n_valid = jnp.sum((seg >= 0).astype(jnp.int32), axis=1)
     index = index + jnp.where(prefill_mask, n_valid, 0)
@@ -391,7 +402,8 @@ class ServeEngine:
         else:
             first, c1 = _prefill_one_jit(
                 self.dec_params, prompt, length, self._fold(), self.cfg,
-                self.sampling, self.scfg.max_len, self.interpret)
+                self.sampling, self.scfg.max_len,
+                double_scale=self.double_scale, interpret=self.interpret)
             idx = length
         self.caches = _insert_slot_jit(self.caches, c1, slot)
         if self.spec:
@@ -407,6 +419,7 @@ class ServeEngine:
         self.last = self.last.at[slot].set(tok)
         self.slots[slot] = req
         req.tokens.append(tok)
+        self.emitted_total += 1
         self._maybe_finish(slot, tok)
 
     def _maybe_finish(self, slot: int, tok: int):
@@ -491,11 +504,11 @@ class ServeEngine:
                 self._admit(slot, self.pending.popleft())
         if self.chunked and any(p >= 0 for p in self._pf_pos):
             self._advance_prefill()
-        if self.num_decoding > 0:
+        active_list = [s is not None and not self._is_prefilling(i)
+                       for i, s in enumerate(self.slots)]
+        if any(active_list):
             if self._active_dev is None:  # occupancy changed since last step
-                self._active_dev = jnp.asarray(
-                    [s is not None and not self._is_prefilling(i)
-                     for i, s in enumerate(self.slots)], bool)
+                self._active_dev = jnp.asarray(active_list, bool)
             active = self._active_dev
             if self.spec:
                 emit, n_emit, carry, self.caches, self.draft_caches, \
@@ -522,9 +535,7 @@ class ServeEngine:
                 # one token per slot that was ACTIVE in this dispatch
                 # (occupied-but-prefilling slots must not be credited)
                 emit = nxt[:, None]
-                n_emit = [1 if (self.slots[i] is not None
-                                and not self._is_prefilling(i)) else 0
-                          for i in range(self.scfg.max_batch)]
+                n_emit = [1 if a else 0 for a in active_list]
             self.steps += 1
             try:  # start the device->host copy now; read it sync_lag later
                 emit.copy_to_host_async()

@@ -301,3 +301,33 @@ def test_engine_chunked_prefill_interleaves(params):
     assert not long_req.done
     eng.run()
     assert short.done and long_req.done
+
+
+def test_engine_chunked_matches_oneshot_on_kosmos_engine(devices):
+    """On a kosmos-configured engine (parity double_scale active), text
+    requests must produce identical greedy tokens whether the prompt is
+    admitted whole or streamed in chunks — the prefill embedding scale must
+    match the decode convention on both paths."""
+    kcfg = KosmosConfig(
+        decoder=dataclasses.replace(CFG, vocab_size=128),
+        vision=VisionConfig(image_size=28, patch_size=14, layers=1,
+                            hidden_dim=32, heads=2, mlp_dim=64,
+                            use_flash_attention=False),
+        resampler=ResamplerConfig(dim=32, depth=1, dim_head=8, heads=2,
+                                  num_latents=4, num_media_embeds=5),
+        image_embed_len=4)
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    kparams = Kosmos.init(jax.random.PRNGKey(0), kcfg)
+    assert kcfg.parity_double_scale
+
+    def run(chunk):
+        eng = ServeEngine(kparams, kcfg.decoder,
+                          ServeConfig(max_batch=2, max_prompt_len=12,
+                                      max_len=48, prefill_chunk=chunk),
+                          SamplingConfig(greedy=True), kosmos_cfg=kcfg)
+        h = eng.submit([4, 8, 15, 16, 23], max_new_tokens=6)
+        eng.run()
+        return h.tokens
+
+    assert run(0) == run(2) == run(16)
