@@ -331,3 +331,44 @@ def test_engine_chunked_matches_oneshot_on_kosmos_engine(devices):
         return h.tokens
 
     assert run(0) == run(2) == run(16)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engine_fuzz_random_schedules_match_plain(params, seed):
+    """Randomized workloads (arrival times, prompt lengths, budgets) across
+    engine configurations (sync_lag / prefill_chunk) must all produce the
+    reference (plain whole-prompt, synchronous) greedy outputs."""
+    import random
+
+    r = random.Random(seed)
+    n_req = 7
+    reqs = []
+    for i in range(n_req):
+        lp = r.randint(2, 14)
+        prompt = [r.randint(4, CFG.vocab_size - 1) for _ in range(lp)]
+        reqs.append((prompt, r.randint(1, 9), r.randint(0, 4)))
+
+    def run(lag, chunk):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
+                        sync_lag=lag, prefill_chunk=chunk),
+            SamplingConfig(greedy=True))
+        handles = []
+        i = 0
+        guard = 0
+        while i < n_req or eng.step():
+            guard += 1
+            assert guard < 500, "engine failed to drain"
+            # arrival schedule: submit the next request after its delay
+            while i < n_req and reqs[i][2] <= guard:
+                prompt, budget, _ = reqs[i]
+                handles.append(eng.submit(prompt, max_new_tokens=budget))
+                i += 1
+        eng.run()
+        return [h.tokens for h in handles]
+
+    ref = run(0, 0)
+    for lag, chunk in [(0, 3), (2, 0), (3, 5), (1, 16)]:
+        got = run(lag, chunk)
+        assert got == ref, (lag, chunk)
