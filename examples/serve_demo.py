@@ -30,7 +30,8 @@ def main(dim=512, layers=4):
                         dropout=0.0, attention_dropout=0.0)
     params = dec.init_decoder(jax.random.PRNGKey(0), cfg)
     eng = ServeEngine(params, cfg,
-                      ServeConfig(max_batch=4, max_prompt_len=32, max_len=128),
+                      ServeConfig(max_batch=4, max_prompt_len=32,
+                                  max_len=128, sync_lag=2),
                       SamplingConfig(greedy=True))
 
     rng = np.random.RandomState(1)
