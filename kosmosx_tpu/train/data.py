@@ -13,6 +13,8 @@ Trainer (host→device transfer happens once, already batched).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -64,6 +66,165 @@ def packed_text_batches(token_streams: Iterable[Sequence[int]], *,
         ids = np.stack(blocks)
         yield {"input_ids": ids,
                "attention_mask": np.ones_like(ids, np.int32)}
+
+
+def _open_token_file(path: str, dtype: Optional[str] = None) -> np.ndarray:
+    """Open a pretokenized token file without loading it into RAM.
+
+    ``.npy``: memmapped via ``np.load`` (1-D stream or 2-D ``(N, L)`` rows).
+    Anything else (``.bin``): raw ``np.memmap``; dtype comes from the
+    ``dtype`` arg, a ``<stem>.json`` sidecar ``{"dtype": ...}``, or defaults
+    to uint16 (the common GPT-2/NeoX token-dump convention).
+    """
+    if path.endswith(".npy"):
+        return np.load(path, mmap_mode="r")
+    dt = dtype
+    if dt is None:
+        sidecar = os.path.splitext(path)[0] + ".json"
+        if os.path.exists(sidecar):
+            with open(sidecar, "r", encoding="utf-8") as f:
+                dt = json.load(f).get("dtype")
+    return np.memmap(path, dtype=np.dtype(dt or "uint16"), mode="r")
+
+
+def pretokenized_stream(paths: Sequence[str], *, seq_len: int,
+                        dtype: Optional[str] = None,
+                        slab_tokens: int = 1 << 20) -> Iterator[np.ndarray]:
+    """Stream fixed ``seq_len`` blocks from pretokenized token files.
+
+    The TPU-native analog of the reference's ``build_pre_tokenized``
+    (/root/reference/train.py:474-483), which loads a HF dataset of
+    already-tokenized fixed-length rows. Here the on-disk formats are memmap
+    ``.bin`` streams and ``.npy`` arrays; rows/streams are concatenated
+    (carrying across file boundaries) and re-chunked into ``seq_len`` blocks,
+    dropping the trailing remainder like ``group_texts``
+    (/root/reference/train.py:444-462). Files whose rows already have length
+    ``seq_len`` pass through unchanged.
+
+    Reads go through ``slab_tokens``-sized memmap slices so arbitrarily large
+    dumps stream at O(slab) host memory.
+    """
+    carry = np.zeros((0,), np.int32)
+    for path in paths:
+        arr = _open_token_file(path, dtype)
+        flat = arr.reshape(-1)
+        pos = 0
+        while pos < flat.shape[0]:
+            slab = np.asarray(flat[pos:pos + slab_tokens], np.int32)
+            pos += slab.shape[0]
+            if carry.size:
+                slab = np.concatenate([carry, slab])
+            nblocks = slab.shape[0] // seq_len
+            for i in range(nblocks):
+                yield slab[i * seq_len:(i + 1) * seq_len].copy()
+            carry = slab[nblocks * seq_len:]
+    # trailing remainder dropped (group_texts semantics)
+
+
+def pretokenized_batches(paths: Sequence[str], *, batch_size: int,
+                         seq_len: int, dtype: Optional[str] = None,
+                         ) -> Iterator[Dict[str, np.ndarray]]:
+    """{"input_ids": (B, L), "attention_mask": ones} batches from
+    pretokenized token files (see ``pretokenized_stream``)."""
+    block_iter = pretokenized_stream(paths, seq_len=seq_len, dtype=dtype)
+    while True:
+        blocks = []
+        for _ in range(batch_size):
+            try:
+                blocks.append(next(block_iter))
+            except StopIteration:
+                return
+        ids = np.stack(blocks)
+        yield {"input_ids": ids,
+               "attention_mask": np.ones_like(ids, np.int32)}
+
+
+def _load_image_file(path: str, image_size: Optional[int]) -> np.ndarray:
+    """Load one image file as channel-first uint8/float (3, H, W).
+
+    ``.npy`` arrays pass through ((3,H,W) or (H,W,3)); everything else goes
+    through PIL. When ``image_size`` is set, non-conforming images get the
+    CLIPProcessor-style short-side resize + center crop on the host so a
+    batch stacks to one static shape (the device-side normalize in
+    ``data/images.py`` then sees already-sized inputs and skips its resize).
+    """
+    if path.endswith(".npy"):
+        img = np.load(path)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=0)
+        if img.ndim == 3 and img.shape[0] not in (1, 3):
+            img = img[..., :3].transpose(2, 0, 1)
+        if img.shape[0] == 1:
+            img = np.repeat(img, 3, axis=0)
+        if image_size is not None and img.shape[-2:] != (image_size, image_size):
+            raise ValueError(
+                f"{path}: npy image is {img.shape[-2:]}, expected "
+                f"({image_size}, {image_size}) — pre-size npy images")
+        return img
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if image_size is not None and im.size != (image_size, image_size):
+            w, h = im.size
+            scale = image_size / min(w, h)
+            nw, nh = max(image_size, round(w * scale)), max(image_size, round(h * scale))
+            im = im.resize((nw, nh), Image.BICUBIC)
+            left = (nw - image_size) // 2
+            top = (nh - image_size) // 2
+            im = im.crop((left, top, left + image_size, top + image_size))
+        return np.asarray(im, np.uint8).transpose(2, 0, 1)
+
+
+def image_caption_samples(root: str, *, captions_file: str = "captions.jsonl",
+                          image_size: Optional[int] = 224,
+                          ) -> Iterator[Dict[str, Any]]:
+    """Yield {"target_text", "image"} samples from an on-disk dataset.
+
+    Layout: a directory with a JSONL manifest (one
+    ``{"image": relpath, "text": caption}`` object per line; ``caption`` /
+    ``target_text`` and ``file`` / ``image_path`` accepted as aliases) next
+    to the image files (png/jpg via PIL, or pre-sized ``.npy`` arrays).
+
+    This is the on-disk image+caption path the reference lacks entirely —
+    it trains its multimodal model on text-only C4/openwebtext
+    (/root/reference/train.py:416-483, SURVEY.md §2.6.4).
+    """
+    manifest = os.path.join(root, captions_file)
+    with open(manifest, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            text = rec.get("text") or rec.get("caption") or rec.get("target_text")
+            img_rel = rec.get("image") or rec.get("file") or rec.get("image_path")
+            if text is None or img_rel is None:
+                raise ValueError(f"{manifest}: record missing text/image: {rec}")
+            img_path = img_rel if os.path.isabs(img_rel) else os.path.join(root, img_rel)
+            yield {"target_text": text,
+                   "image": _load_image_file(img_path, image_size)}
+
+
+def image_caption_batches(root: str, tokenizer, *, batch_size: int,
+                          text_len: int,
+                          captions_file: str = "captions.jsonl",
+                          image_size: Optional[int] = None,
+                          epochs: Optional[int] = 1,
+                          ) -> Iterator[Dict[str, np.ndarray]]:
+    """{text_tokens, images} training batches from an on-disk image+caption
+    dataset (``image_caption_samples`` → ``multimodal_batches``).
+    ``epochs=None`` loops forever (the Trainer bounds by steps)."""
+    if image_size is None:
+        image_size = getattr(tokenizer, "image_size", 224)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        samples = image_caption_samples(root, captions_file=captions_file,
+                                        image_size=image_size)
+        yield from multimodal_batches(samples, tokenizer,
+                                      batch_size=batch_size,
+                                      text_len=text_len)
+        epoch += 1
 
 
 def device_prefetch(iterator: Iterable, place_fn,

@@ -21,8 +21,10 @@ import numpy as np
 
 
 def _t(x) -> np.ndarray:
-    """torch tensor -> numpy (float32)."""
-    return np.asarray(x.detach().cpu().numpy(), dtype=np.float32)
+    """torch tensor / array-like -> numpy (float32)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
 
 
 def _linear(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:

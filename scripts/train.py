@@ -36,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heads", type=int, default=32)
     p.add_argument("--max-positions", type=int, default=2048)
     p.add_argument("--no-multiway", action="store_true")
+    # vision tower / resampler (kosmos model; defaults = CLIP ViT-L/14)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--patch-size", type=int, default=14)
+    p.add_argument("--vision-dim", type=int, default=1024)
+    p.add_argument("--vision-layers", type=int, default=24)
+    p.add_argument("--vision-heads", type=int, default=16)
+    p.add_argument("--vision-mlp-dim", type=int, default=4096)
+    p.add_argument("--resampler-depth", type=int, default=2)
+    p.add_argument("--latents", type=int, default=64,
+                   help="resampler latents = image embed length")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-flash", action="store_true")
@@ -71,6 +81,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic batches (no dataset needed)")
     p.add_argument("--text-files", nargs="*", default=None,
                    help="one-doc-per-line text files")
+    p.add_argument("--pretokenized", nargs="*", default=None,
+                   help="pretokenized token files (.bin memmap / .npy), "
+                        "re-chunked to --seq-len (ref train.py:474-483)")
+    p.add_argument("--token-dtype", default=None,
+                   help="dtype of raw .bin token files (default: sidecar "
+                        "json, else uint16)")
+    p.add_argument("--dataset-dir", default=None,
+                   help="on-disk image+caption dataset dir (captions.jsonl "
+                        "+ image files) for --model kosmos")
+    p.add_argument("--captions-file", default="captions.jsonl")
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--wandb", action="store_true")
     return p
@@ -84,7 +104,9 @@ def main(argv=None):
 
     from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
                                          ResamplerConfig, VisionConfig)
-    from kosmosx_tpu.train.data import (packed_text_batches,
+    from kosmosx_tpu.train.data import (image_caption_batches,
+                                        packed_text_batches,
+                                        pretokenized_batches,
                                         synthetic_multimodal_batches,
                                         synthetic_text_batches,
                                         text_file_stream)
@@ -118,6 +140,10 @@ def main(argv=None):
             batches = synthetic_text_batches(
                 batch_size=args.batch_size, seq_len=args.seq_len,
                 vocab_size=args.vocab_size, steps=args.steps)
+        elif args.pretokenized:
+            batches = pretokenized_batches(
+                args.pretokenized, batch_size=args.batch_size,
+                seq_len=args.seq_len, dtype=args.token_dtype)
         elif args.text_files:
             from kosmosx_tpu.data.tokenizer import KosmosTokenizer
 
@@ -127,21 +153,40 @@ def main(argv=None):
                 batch_size=args.batch_size, seq_len=args.seq_len,
                 eos_id=tok.eos_token_id)
         else:
-            raise SystemExit("need --synthetic or --text-files")
+            raise SystemExit("need --synthetic, --pretokenized, or "
+                             "--text-files")
     else:
         from kosmosx_tpu.models.kosmos import Kosmos
 
-        kcfg = KosmosConfig(decoder=dcfg,
-                            vision=VisionConfig(compute_dtype=args.dtype),
-                            resampler=ResamplerConfig(compute_dtype=args.dtype))
+        vcfg = VisionConfig(
+            image_size=args.image_size, patch_size=args.patch_size,
+            hidden_dim=args.vision_dim, layers=args.vision_layers,
+            heads=args.vision_heads, mlp_dim=args.vision_mlp_dim,
+            compute_dtype=args.dtype)
+        rcfg = ResamplerConfig(
+            dim=args.vision_dim, depth=args.resampler_depth,
+            num_latents=args.latents, num_media_embeds=vcfg.seq_len,
+            compute_dtype=args.dtype)
+        kcfg = KosmosConfig(decoder=dcfg, vision=vcfg, resampler=rcfg,
+                            image_embed_len=args.latents)
         init_fn = lambda key: Kosmos.init(key, kcfg)
         loss_fn = kosmos_loss_fn(kcfg)
-        if not args.synthetic:
-            raise SystemExit("kosmos training currently needs --synthetic "
-                             "(no image dataset in this environment)")
-        batches = synthetic_multimodal_batches(
-            batch_size=args.batch_size, seq_len=args.seq_len,
-            vocab_size=args.vocab_size, steps=args.steps)
+        if args.synthetic:
+            batches = synthetic_multimodal_batches(
+                batch_size=args.batch_size, seq_len=args.seq_len,
+                vocab_size=args.vocab_size, steps=args.steps)
+        elif args.dataset_dir:
+            from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+
+            tok = KosmosTokenizer(image_size=args.image_size,
+                                  image_embed_len=args.latents)
+            batches = image_caption_batches(
+                args.dataset_dir, tok, batch_size=args.batch_size,
+                text_len=args.seq_len, captions_file=args.captions_file,
+                epochs=None)
+        else:
+            raise SystemExit("kosmos training needs --synthetic or "
+                             "--dataset-dir (captions.jsonl + images)")
 
     trainer = Trainer(init_fn=init_fn, loss_fn=loss_fn, cfg=tcfg)
     log_fn = MetricsLogger(jsonl_path=args.metrics_jsonl,

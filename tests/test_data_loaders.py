@@ -1,0 +1,208 @@
+"""Real-data loaders: pretokenized token streams (ref train.py:474-483) and
+on-disk image+caption datasets (the image pipeline the reference lacks,
+SURVEY.md §2.6.4), plus the train CLI wired to both."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from kosmosx_tpu.train.data import (image_caption_batches,
+                                    image_caption_samples,
+                                    pretokenized_batches,
+                                    pretokenized_stream)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# -- pretokenized token streams ----------------------------------------------
+
+def test_pretokenized_npy_flat_stream(tmp_path):
+    toks = np.arange(23, dtype=np.int32)
+    p = tmp_path / "toks.npy"
+    np.save(p, toks)
+    blocks = list(pretokenized_stream([str(p)], seq_len=5))
+    assert len(blocks) == 4  # 23 // 5, remainder dropped
+    np.testing.assert_array_equal(np.concatenate(blocks), toks[:20])
+    assert all(b.dtype == np.int32 for b in blocks)
+
+
+def test_pretokenized_carries_across_files(tmp_path):
+    a, b = np.arange(7, dtype=np.int32), np.arange(100, 109, dtype=np.int32)
+    pa, pb = tmp_path / "a.npy", tmp_path / "b.npy"
+    np.save(pa, a)
+    np.save(pb, b)
+    blocks = list(pretokenized_stream([str(pa), str(pb)], seq_len=4))
+    flat = np.concatenate([a, b])
+    assert len(blocks) == len(flat) // 4
+    np.testing.assert_array_equal(np.concatenate(blocks),
+                                  flat[:len(blocks) * 4])
+
+
+def test_pretokenized_rows_passthrough(tmp_path):
+    """2-D (N, seq_len) row files (the reference's pretokenized-dataset shape)
+    pass through row-for-row."""
+    rows = np.random.RandomState(0).randint(0, 1000, (6, 8)).astype(np.int32)
+    p = tmp_path / "rows.npy"
+    np.save(p, rows)
+    blocks = list(pretokenized_stream([str(p)], seq_len=8))
+    np.testing.assert_array_equal(np.stack(blocks), rows)
+
+
+def test_pretokenized_bin_sidecar_dtype(tmp_path):
+    toks = np.random.RandomState(1).randint(0, 2**31 - 1, 17).astype(np.int32)
+    p = tmp_path / "dump.bin"
+    toks.tofile(p)
+    with open(tmp_path / "dump.json", "w") as f:
+        json.dump({"dtype": "int32"}, f)
+    blocks = list(pretokenized_stream([str(p)], seq_len=8))
+    np.testing.assert_array_equal(np.concatenate(blocks), toks[:16])
+
+
+def test_pretokenized_bin_default_uint16(tmp_path):
+    toks = np.random.RandomState(2).randint(0, 50000, 32).astype(np.uint16)
+    p = tmp_path / "dump.bin"
+    toks.tofile(p)
+    blocks = list(pretokenized_stream([str(p)], seq_len=16))
+    np.testing.assert_array_equal(np.concatenate(blocks),
+                                  toks.astype(np.int32))
+
+
+def test_pretokenized_small_slabs(tmp_path):
+    """Slab boundaries must not drop or duplicate tokens."""
+    toks = np.arange(1000, dtype=np.int32)
+    p = tmp_path / "toks.npy"
+    np.save(p, toks)
+    blocks = list(pretokenized_stream([str(p)], seq_len=7, slab_tokens=64))
+    np.testing.assert_array_equal(np.concatenate(blocks),
+                                  toks[:(1000 // 7) * 7])
+
+
+def test_pretokenized_batches_shapes(tmp_path):
+    toks = np.arange(100, dtype=np.int32)
+    p = tmp_path / "toks.npy"
+    np.save(p, toks)
+    batches = list(pretokenized_batches([str(p)], batch_size=3, seq_len=8))
+    assert len(batches) == 4  # 12 blocks -> 4 full batches
+    assert batches[0]["input_ids"].shape == (3, 8)
+    assert batches[0]["attention_mask"].shape == (3, 8)
+    np.testing.assert_array_equal(batches[0]["input_ids"].ravel(),
+                                  toks[:24])
+
+
+# -- on-disk image+caption datasets ------------------------------------------
+
+def _write_dataset(root, n=5, size=32):
+    """n samples: mix of PNG (via PIL) and pre-sized npy images, with alias
+    manifest keys."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(i)
+        if i % 2 == 0:
+            # PNG at a non-target size — exercises host resize+crop
+            arr = rng.randint(0, 256, (size + 11, size + 3, 3)).astype(np.uint8)
+            name = f"img_{i}.png"
+            Image.fromarray(arr).save(os.path.join(root, name))
+            rows.append({"image": name, "text": f"a photo number {i}"})
+        else:
+            arr = rng.randint(0, 256, (3, size, size)).astype(np.uint8)
+            name = f"img_{i}.npy"
+            np.save(os.path.join(root, name), arr)
+            rows.append({"file": name, "caption": f"caption {i} text"})
+    with open(os.path.join(root, "captions.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_image_caption_samples(tmp_path):
+    _write_dataset(str(tmp_path), n=4, size=24)
+    samples = list(image_caption_samples(str(tmp_path), image_size=24))
+    assert len(samples) == 4
+    for s in samples:
+        assert s["image"].shape == (3, 24, 24)
+        assert s["image"].dtype == np.uint8
+        assert isinstance(s["target_text"], str)
+
+
+def test_image_caption_batches_end_to_end(tmp_path):
+    from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+
+    _write_dataset(str(tmp_path), n=5, size=28)
+    tok = KosmosTokenizer(use_hf=False, image_size=28)
+    batches = list(image_caption_batches(str(tmp_path), tok, batch_size=2,
+                                         text_len=24, epochs=1))
+    assert len(batches) == 2  # 5 samples -> 2 full batches
+    b = batches[0]
+    assert b["text_tokens"].shape == (2, 24)
+    assert b["images"].shape == (2, 3, 28, 28)
+    # CLIP normalization happened (values centered, not raw 0..255)
+    assert abs(float(b["images"].mean())) < 5.0
+    assert b["text_tokens"][0, 0] == tok.bos_token_id
+    assert b["text_tokens"][0, 1] == tok.im_idx
+
+
+def test_image_caption_epochs_loop(tmp_path):
+    from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+
+    _write_dataset(str(tmp_path), n=2, size=16)
+    tok = KosmosTokenizer(use_hf=False, image_size=16)
+    it = image_caption_batches(str(tmp_path), tok, batch_size=2,
+                               text_len=16, epochs=None)
+    first = next(it)
+    second = next(it)  # second epoch re-reads the same data
+    np.testing.assert_array_equal(first["text_tokens"], second["text_tokens"])
+
+
+# -- CLI wiring ---------------------------------------------------------------
+
+@pytest.mark.slow
+def test_train_cli_pretokenized(tmp_path):
+    toks = np.random.RandomState(0).randint(2, 97, 2048).astype(np.uint16)
+    tok_file = tmp_path / "toks.bin"
+    toks.tofile(tok_file)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+         "--model", "language", "--pretokenized", str(tok_file),
+         "--layers", "1", "--dim", "32", "--ffn-dim", "64", "--heads", "2",
+         "--vocab-size", "97", "--max-positions", "64",
+         "--dtype", "float32", "--no-flash", "--batch-size", "2",
+         "--seq-len", "16", "--steps", "4", "--log-every", "2",
+         "--checkpoint-every", "0", "--output-dir", str(tmp_path / "ckpt"),
+         "--optimizer", "adamw", "--data", "1"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "HF_HUB_OFFLINE": "1",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
+    assert "final:" in out.stdout
+
+
+@pytest.mark.slow
+def test_train_cli_kosmos_dataset_dir(tmp_path):
+    """--model kosmos trains on an on-disk dataset — no --synthetic gate
+    (VERDICT round-1 missing #1)."""
+    data_dir = tmp_path / "data"
+    _write_dataset(str(data_dir), n=4, size=28)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+         "--model", "kosmos", "--dataset-dir", str(data_dir),
+         "--layers", "1", "--dim", "32", "--ffn-dim", "64", "--heads", "2",
+         "--vocab-size", "512", "--max-positions", "128",
+         "--image-size", "28", "--patch-size", "14", "--vision-dim", "32",
+         "--vision-layers", "1", "--vision-heads", "2",
+         "--vision-mlp-dim", "64", "--resampler-depth", "1",
+         "--latents", "4",
+         "--dtype", "float32", "--no-flash", "--batch-size", "2",
+         "--seq-len", "24", "--steps", "3", "--log-every", "1",
+         "--checkpoint-every", "0", "--output-dir", str(tmp_path / "ckpt"),
+         "--optimizer", "adamw", "--data", "1"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "HF_HUB_OFFLINE": "1",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
+    assert "final:" in out.stdout
