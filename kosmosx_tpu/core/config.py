@@ -88,6 +88,11 @@ class MagnetoConfig:
     # ppermute ring (parallel/ring_attention.py) and positions/xPos use each
     # shard's global offset. None = single-shard sequence (default).
     sequence_axis: Optional[str] = None
+    # "ring": contiguous shards, upper-triangle pairs computed-and-discarded;
+    # "zigzag": load-balanced schedule (device i holds global chunks
+    # (i, 2S-1-i)) — ~2x less attention compute at large S. Data must be in
+    # the zigzag layout (parallel/ring_attention.zigzag_permute).
+    sequence_schedule: str = "ring"
 
     @property
     def head_dim(self) -> int:

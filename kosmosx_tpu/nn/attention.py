@@ -107,6 +107,44 @@ def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
+def _gathered_sp_attention(q, k, v, axis_name, *, shard, n_shards, zigzag,
+                           causal, segment_ids, attn_dropout, rng):
+    """Sequence-parallel attention via all-gathered K/V (the attention-
+    dropout fallback). q is the local shard (B, H, Ll, hd), already
+    xPos-rotated; k/v likewise (rotated with their own global offsets, so
+    gathering them is sound). Position ids handle both layouts: contiguous
+    shards and the zigzag chunk order."""
+    from jax import lax
+
+    from kosmosx_tpu.parallel.ring_attention import zigzag_position_offsets
+
+    b, h, ll, hd = q.shape
+    if zigzag:
+        q_pos = zigzag_position_offsets(shard, ll, n_shards) + jnp.arange(ll)
+    else:
+        q_pos = shard * ll + jnp.arange(ll)
+    k_pos = lax.all_gather(q_pos, axis_name, axis=0, tiled=True)  # (Lg,)
+    k_g = lax.all_gather(k, axis_name, axis=2, tiled=True)
+    v_g = lax.all_gather(v, axis_name, axis=2, tiled=True)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k_g,
+                   preferred_element_type=jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    mask = None
+    if causal:
+        mask = (k_pos[None, None, None, :] <= q_pos[None, None, :, None])
+    if segment_ids is not None:
+        seg_kv = lax.all_gather(segment_ids, axis_name, axis=1, tiled=True)
+        seg = (segment_ids[:, None, :, None] == seg_kv[:, None, None, :])
+        mask = seg if mask is None else mask & seg
+    if mask is not None:
+        s = jnp.where(mask, s, neg)
+    p = jax.nn.softmax(s, axis=-1)
+    if attn_dropout > 0.0 and rng is not None:
+        p = layers.dropout(p, attn_dropout, rng)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_g.dtype), v_g)
+
+
 def self_attention(params, x, *, heads: int, subln: bool = True,
                    multiway: bool = False, split: Optional[int] = None,
                    causal: bool = True,
@@ -122,6 +160,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                    dtype=None,
                    interpret: bool = False,
                    sequence_axis: Optional[str] = None,
+                   sequence_schedule: str = "ring",
                    ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Self-attention over ``x`` (B, L, D).
 
@@ -147,31 +186,60 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
 
     if cache is None and sequence_axis is not None:
         # context parallelism: sequence sharded over `sequence_axis`; K/V
-        # shards rotate around the ring (parallel/ring_attention.py)
-        from kosmosx_tpu.parallel.ring_attention import ring_flash_attention
+        # shards rotate around the ring (parallel/ring_attention.py).
+        # segment_ids (padding / packed docs) ride the ring with K/V.
+        from kosmosx_tpu.parallel.ring_attention import (
+            ring_flash_attention, zigzag_ring_flash_attention)
 
-        if segment_ids is not None:
-            raise NotImplementedError(
-                "segment_ids are not supported under sequence parallelism "
-                "yet — pad-free packed batches only")
+        n_shards = jax.lax.psum(1, sequence_axis)
+        shard = jax.lax.axis_index(sequence_axis)
+        zigzag = sequence_schedule == "zigzag"
+        center = (l * n_shards) // 2  # cancels in q.k; keeps fp ranges sane
+
+        def rotate(t, downscale):
+            if not xpos:
+                return t
+            if zigzag:
+                # shard holds global chunks (i, 2S-1-i), each l//2 long
+                c = l // 2
+                lo = apply_xpos(t[:, :, :c], scale_base=xpos_scale_base,
+                                downscale=downscale, center=center,
+                                offset=shard * c)
+                hi = apply_xpos(t[:, :, c:], scale_base=xpos_scale_base,
+                                downscale=downscale, center=center,
+                                offset=(2 * n_shards - 1 - shard) * c)
+                return jnp.concatenate([lo, hi], axis=2)
+            return apply_xpos(t, scale_base=xpos_scale_base,
+                              downscale=downscale, center=center,
+                              offset=shard * l)
+
+        q = rotate(q, False)
+        k = rotate(k, True)
         if rng is not None and attn_dropout > 0.0:
-            raise NotImplementedError(
-                "attention dropout is not supported under sequence "
-                "parallelism")
-        if xpos:
-            # global absolute positions; the global-center choice cancels in
-            # q.k (scale ratio depends only on t-u) but keeps fp ranges sane
-            n_shards = jax.lax.psum(1, sequence_axis)
-            off = jax.lax.axis_index(sequence_axis) * l
-            center = (l * n_shards) // 2
-            q = apply_xpos(q, scale_base=xpos_scale_base, downscale=False,
-                           center=center, offset=off)
-            k = apply_xpos(k, scale_base=xpos_scale_base, downscale=True,
-                           center=center, offset=off)
-        o = ring_flash_attention(q, k, v, sequence_axis, causal=causal,
-                                 block_q=min(flash_block_q, l),
-                                 block_kv=min(flash_block_kv, l),
-                                 interpret=interpret)
+            # Exact attention-dropout fallback: all-gather K/V (+ ids) over
+            # the sequence axis and run the jnp path with global position
+            # masking. O(L_global) memory per device — dropout training only;
+            # the ring kernels stay dropout-free (in-kernel RNG would be
+            # needed to drop unnormalized tiles consistently).
+            o = _gathered_sp_attention(
+                q, k, v, sequence_axis, shard=shard, n_shards=n_shards,
+                zigzag=zigzag, causal=causal, segment_ids=segment_ids,
+                attn_dropout=attn_dropout,
+                rng=jax.random.fold_in(rng, shard))
+        elif zigzag:
+            o = zigzag_ring_flash_attention(
+                q, k, v, sequence_axis,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                block_q=min(flash_block_q, l // 2),
+                block_kv=min(flash_block_kv, l // 2),
+                interpret=interpret)
+        else:
+            o = ring_flash_attention(
+                q, k, v, sequence_axis, causal=causal,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                block_q=min(flash_block_q, l),
+                block_kv=min(flash_block_kv, l),
+                interpret=interpret)
         o = o.astype(x.dtype)
         new_cache = None
     elif cache is None:

@@ -144,7 +144,8 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         segment_ids=segment_ids, attn_dropout=cfg.attention_dropout,
         rng=rngs[0], cache=cache, cache_index=cache_index,
         prefill=prefill, dtype=dtype, interpret=interpret,
-        sequence_axis=cfg.sequence_axis)
+        sequence_axis=cfg.sequence_axis,
+        sequence_schedule=cfg.sequence_schedule)
     if rngs[1] is not None and cfg.dropout > 0.0:
         h = layers.dropout(h, cfg.dropout, rngs[1])
     x = residual + h

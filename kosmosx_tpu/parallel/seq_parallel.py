@@ -65,12 +65,21 @@ def shift_labels(tokens: jax.Array, pad_id: int) -> Tuple[jax.Array, jax.Array]:
     return labels, weights
 
 
-def _local_loss(params, tokens, labels, weights, cfg: MagnetoConfig,
-                axis: str, data_axis: str, interpret: bool):
+def _local_loss(params, tokens, labels, weights, segment_ids,
+                cfg: MagnetoConfig, axis: str, data_axis: str,
+                interpret: bool, rng=None):
     i = lax.axis_index(axis)
     lq = tokens.shape[1]
+    if cfg.sequence_schedule == "zigzag":
+        from kosmosx_tpu.parallel.ring_attention import zigzag_position_offsets
+
+        s = lax.psum(1, axis)
+        offset = zigzag_position_offsets(i, lq, s)  # (lq,) per-position
+    else:
+        offset = i * lq
     logits = dec.decoder_forward(params, tokens, cfg, interpret=interpret,
-                                 position_offset=i * lq).astype(jnp.float32)
+                                 segment_ids=segment_ids, rng=rng,
+                                 position_offset=offset).astype(jnp.float32)
     logz = jax.scipy.special.logsumexp(logits, axis=-1)
     true_logit = jnp.take_along_axis(logits, labels[..., None],
                                      axis=-1)[..., 0]
@@ -85,23 +94,38 @@ def make_seq_parallel_train_step(cfg: MagnetoConfig, optimizer, mesh: Mesh,
                                  *, axis: str = "sequence",
                                  data_axis: str = "data",
                                  interpret: bool = False) -> Callable:
-    """Build ``step(state, tokens, labels, weights) -> (state, loss)``.
+    """Build ``step(state, tokens, labels, weights[, segment_ids, rng])
+    -> (state, loss)``.
 
     - ``cfg.sequence_axis`` must equal ``axis`` (the decoder routes
-      attention through the ring based on it);
+      attention through the ring based on it); ``cfg.sequence_schedule``
+      picks the ring schedule — with ``"zigzag"`` the step permutes the
+      global sequence into the zigzag layout itself (and the loss is
+      position-wise, so no unpermute is needed);
     - ``state = {"params", "opt_state"}`` replicated;
-    - ``tokens``/``labels``/``weights``: (B, L) global arrays — the returned
-      step is already shard_map'ed, jitted, and annotated, so pass them
-      whole and XLA shards them (B over ``data_axis``, L over ``axis``).
+    - ``tokens``/``labels``/``weights``/``segment_ids``: (B, L) global
+      arrays — the returned step is already shard_map'ed, jitted, and
+      annotated, so pass them whole and XLA shards them (B over
+      ``data_axis``, L over ``axis``). ``segment_ids`` enables padded /
+      packed batches under SP; pass zeros (or reuse an attention mask's
+      ``where(mask>0, 0, -1)``) for plain batches;
+    - ``rng`` enables dropout (cfg.dropout / cfg.attention_dropout > 0);
+      attention dropout routes through the all-gather fallback
+      (nn/attention._gathered_sp_attention).
     """
     if cfg.sequence_axis != axis:
         raise ValueError(f"cfg.sequence_axis={cfg.sequence_axis!r} must "
                          f"match axis={axis!r}")
+    s = int(mesh.shape[axis])
 
-    def step(state, tokens, labels, weights):
+    def step(state, tokens, labels, weights, segment_ids, rng):
         def loss_fn(p):
-            return _local_loss(p, tokens, labels, weights, cfg, axis,
-                               data_axis, interpret)
+            lrng = None
+            if rng is not None:
+                lrng = jax.random.fold_in(rng, lax.axis_index(axis))
+                lrng = jax.random.fold_in(lrng, lax.axis_index(data_axis))
+            return _local_loss(p, tokens, labels, weights, segment_ids, cfg,
+                               axis, data_axis, interpret, rng=lrng)
 
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
         # The loss's psum transposes into an all-reduce of the cotangents,
@@ -118,7 +142,20 @@ def make_seq_parallel_train_step(cfg: MagnetoConfig, optimizer, mesh: Mesh,
     batch_spec = P(data_axis, axis)
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(), batch_spec, batch_spec, batch_spec),
+        in_specs=(P(), batch_spec, batch_spec, batch_spec, batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False)  # pallas_call carries no vma metadata
-    return jax.jit(sharded)
+
+    def wrapped(state, tokens, labels, weights, segment_ids=None, rng=None):
+        if segment_ids is None:
+            segment_ids = jnp.zeros(tokens.shape, jnp.int32)
+        if cfg.sequence_schedule == "zigzag":
+            from kosmosx_tpu.parallel.ring_attention import zigzag_permute
+
+            tokens, labels, segment_ids = (zigzag_permute(t, s)
+                                           for t in (tokens, labels,
+                                                     segment_ids))
+            weights = zigzag_permute(weights, s)
+        return sharded(state, tokens, labels, weights, segment_ids, rng)
+
+    return jax.jit(wrapped, static_argnums=())

@@ -47,6 +47,7 @@ def test_distill_loss_respects_mask():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_distillation_raises_speculative_acceptance():
     teacher = dec.init_decoder(jax.random.PRNGKey(0), TARGET)
 

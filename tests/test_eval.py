@@ -92,6 +92,7 @@ def test_token_f1_and_em():
     assert exact_match("a b", "a c") == 0.0
 
 
+@pytest.mark.slow
 def test_eval_cli_end_to_end(tmp_path):
     """scripts/eval.py runs on a corpus file and prints a JSON result."""
     import json

@@ -110,6 +110,7 @@ def test_mqa_style_short_kv():
                                np.asarray(expect[:, 0]), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_xpos_matches_external(devices):
     """xpos_scale_base fused into the kernel == apply_xpos outside + plain
     kernel, for forward and all three input grads."""

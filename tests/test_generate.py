@@ -23,6 +23,7 @@ def lm_params():
     return dec.init_decoder(jax.random.PRNGKey(0), CFG)
 
 
+@pytest.mark.slow
 def test_greedy_matches_full_forward_loop(lm_params):
     """Greedy cached decode == naive re-run-full-forward greedy decode."""
     prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 7), 4, CFG.vocab_size)
@@ -89,6 +90,7 @@ def test_sampling_controls():
     assert len(set(toks)) > 1
 
 
+@pytest.mark.slow
 def test_multimodal_generation():
     kcfg = KosmosConfig(
         decoder=CFG,

@@ -35,6 +35,7 @@ def test_audio_encoder_shapes():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_video_encoder_shapes():
     p = init_video_encoder(jax.random.PRNGKey(0), VID)
     clip = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 4, 32, 32))

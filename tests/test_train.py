@@ -78,6 +78,7 @@ def test_group_texts_packing():
                                   np.asarray(flat[:len(blocks) * 4]))
 
 
+@pytest.mark.slow
 def test_trainer_loss_decreases_on_mesh(devices):
     """Full pjit train loop on the 8-device CPU mesh with fsdp+tensor
     sharding — the ZeRO/FSDP-equivalence check (SURVEY.md §2.3)."""
@@ -140,6 +141,7 @@ def test_sharded_forward_matches_single_device(devices):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_trainer_resume_matches_continuous(devices, tmp_path):
     """Checkpoint at step 4, resume in a fresh Trainer, and land on exactly
     the same params as an uninterrupted 6-step run (the reference's
@@ -226,6 +228,7 @@ def test_multimodal_loss_boundary_alignment(devices):
     assert float(loss) < 0.01
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     """scripts/train.py runs a few steps (synthetic data, checkpoint out)."""
     import os
