@@ -85,8 +85,16 @@ def make_hybrid_mesh(*, dcn_data: int = 1, data: int = -1, fsdp: int = 1,
     if data == -1:
         assert per_slice % (fsdp * tensor) == 0, (per_slice, fsdp, tensor)
         data = per_slice // (fsdp * tensor)
+    # granule = TPU slice when the runtime exposes dcn_data distinct
+    # slice_index values (real multi-slice); otherwise processes (CPU /
+    # forced backends, where every device reports slice 0 — e.g. the
+    # two-process test)
+    devs = jax.devices()
+    slice_ids = {getattr(d, "slice_index", None) for d in devs}
+    use_slices = None not in slice_ids and len(slice_ids) == dcn_data
     dev_array = mesh_utils.create_hybrid_device_mesh(
-        (data, fsdp, tensor), (dcn_data, 1, 1))
+        (data, fsdp, tensor), (dcn_data, 1, 1),
+        process_is_granule=not use_slices)
     # fold the DCN replica axis into data: (dcn, data, fsdp, tensor) ->
     # (dcn*data, fsdp, tensor)
     dev_array = dev_array.reshape(dcn_data * data, fsdp, tensor)
