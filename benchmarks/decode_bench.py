@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
-         w8: bool = False):
+         w8: bool = False, kv8: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +33,8 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
     cfg = KosmosConfig(
         decoder=MagnetoConfig(compute_dtype="bfloat16", scan_layers=True,
                               dropout=0.0, attention_dropout=0.0,
-                              max_positions=8194),
+                              max_positions=8194,
+                              kv_cache_dtype="int8" if kv8 else None),
         vision=VisionConfig(compute_dtype="bfloat16"),
         resampler=ResamplerConfig(compute_dtype="bfloat16"))
     params = init_casted(lambda k: Kosmos.init(k, cfg),
@@ -62,7 +63,8 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
     tps = batch * new_tokens / best
     print(json.dumps({
         "metric": f"decode tokens/sec/chip (2.88B flagship, "
-                  f"{'int8 weights' if w8 else 'bf16'}, batch "
+                  f"{'int8 weights' if w8 else 'bf16'}"
+                  f"{', int8 kv-cache' if kv8 else ''}, batch "
                   f"{batch}, {new_tokens} new tokens, {prompt_len}+64 prefill)",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
@@ -72,7 +74,8 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--w8"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     b = int(args[0]) if len(args) > 0 else 8
     n = int(args[1]) if len(args) > 1 else 128
-    main(b, n, w8="--w8" in sys.argv)
+    pl = int(args[2]) if len(args) > 2 else 128
+    main(b, n, pl, w8="--w8" in sys.argv, kv8="--kv8" in sys.argv)

@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=2048)
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--w8", action="store_true")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache (halves decode cache reads)")
     ap.add_argument("--sync-lag", type=int, default=0,
                     help="host token reads lag K decode steps (pipelines "
                          "the device->host RTT behind compute)")
@@ -59,7 +61,8 @@ def main(argv=None):
     cfg = MagnetoConfig(embed_dim=args.dim, ffn_dim=4 * args.dim,
                         layers=args.layers, heads=args.dim // 64,
                         max_positions=8194, compute_dtype="bfloat16",
-                        scan_layers=True, dropout=0.0, attention_dropout=0.0)
+                        scan_layers=True, dropout=0.0, attention_dropout=0.0,
+                        kv_cache_dtype="int8" if args.kv8 else None)
     kcfg = None
     if args.multimodal:
         from kosmosx_tpu.core.config import (KosmosConfig, ResamplerConfig,

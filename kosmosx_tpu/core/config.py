@@ -70,6 +70,11 @@ class MagnetoConfig:
     scale_embedding: bool = True
     # numerics / execution
     compute_dtype: str = "float32"
+    # torchscale computes the FFN activation in fp32 (``activation_fn(
+    # x.float())``) — kept True for parity. False runs the gelu in the
+    # compute dtype: measured 34.1 ms (10%) off the flagship bf16 forward
+    # (BASELINE.md decoder anatomy) at a small, documented numeric delta.
+    activation_fp32: bool = True
     use_flash_attention: bool = True
     # 1024x1024 measured fastest on v5e for the flagship at seq 2048
     # (BASELINE.md block sweep); flash_attention clamps to the sequence
@@ -93,6 +98,11 @@ class MagnetoConfig:
     # (i, 2S-1-i)) — ~2x less attention compute at large S. Data must be in
     # the zigzag layout (parallel/ring_attention.zigzag_permute).
     sequence_schedule: str = "ring"
+    # KV-cache storage dtype for decode: None = compute dtype; "int8" =
+    # per-position-per-head symmetric int8 codes + fp32 scales (halves the
+    # cache read bandwidth at decode; dequant fuses into the attention
+    # matmuls like the W8 weight path — see BASELINE.md study).
+    kv_cache_dtype: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

@@ -67,7 +67,7 @@ def _probs(logits, temperature):
 def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
                scfg: SamplingConfig, gamma: int,
                carry_tok, index, caches_t, caches_d, rng,
-               double_scale_t: bool = False):
+               double_scale_t: bool = False, index_d=None):
     """One speculative round over a (B,) batch/slot-pool: draft gamma
     tokens, verify in one chunked target forward, accept.
 
@@ -78,8 +78,16 @@ def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
     next round. The caller decides how many to actually commit (done/EOS/
     budget masking) and must advance ``index`` by that count itself.
     Shared by speculative_generate and the serving engine.
+
+    ``index_d``: the DRAFT's per-row cache index when it differs from the
+    target's — multimodal serving: the target cache holds spliced image
+    embeddings the text-only draft never saw, so the draft runs at
+    ``index - n_images*image_embed_len`` (the caller advances both by the
+    committed count). Defaults to ``index``.
     """
     b = carry_tok.shape[0]
+    if index_d is None:
+        index_d = index
 
     # Draft gamma tokens via single-token cached steps. The scan runs
     # gamma+1 steps (last proposal discarded) so the draft cache ends
@@ -98,7 +106,7 @@ def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
 
     rng, rd = jax.random.split(rng)
     (_, caches_d, _), (d_toks_full, pd_rows) = jax.lax.scan(
-        draft_step, (carry_tok, caches_d, index),
+        draft_step, (carry_tok, caches_d, index_d),
         jax.random.split(rd, gamma + 1))
     d_toks_full = jnp.swapaxes(d_toks_full, 0, 1)         # (B, gamma+1)
     d_toks = d_toks_full[:, :gamma]

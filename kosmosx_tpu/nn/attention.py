@@ -72,15 +72,38 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * hd)
 
 
+def _quantize_kv(x):
+    """(B, H, L, hd) -> (int8 codes, (B, H, L, 1) fp32 scales): symmetric
+    per-position-per-head quantization (absmax/127)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
 def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
                    attn_dropout: float, rng, segment_q=None, segment_kv=None,
-                   q_offset: Optional[jax.Array] = None):
+                   q_offset: Optional[jax.Array] = None,
+                   k_scale=None, v_scale=None):
     """(B,H,Lq,hd) attention in fp32 softmax. ``kv_len`` masks cache positions
     >= kv_len (decode path); ``segment_*`` mask cross-segment attention;
     ``q_offset`` (B,) gives the absolute position of q[:, 0] for causal
-    alignment against a cache (prefill writes at an offset)."""
+    alignment against a cache (prefill writes at an offset).
+
+    ``k_scale``/``v_scale`` (B,H,Lk,1): when given, k/v are int8 codes of an
+    int8 KV cache. The int8->compute-dtype convert rides the matmul operand
+    (XLA fuses it — same pattern as the W8 weight path, BASELINE.md) and the
+    scales apply to the score columns / the probability rows, so the
+    dequantized cache is never materialized in HBM."""
     lq, lk = q.shape[-2], k.shape[-2]
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+        s = s * jnp.swapaxes(k_scale, -1, -2)  # (B,H,1,Lk) column scales
+    else:
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
     neg = jnp.finfo(jnp.float32).min
     mask = None
     if causal and (lq > 1 or q_offset is not None):
@@ -104,6 +127,11 @@ def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
     p = jax.nn.softmax(s, axis=-1)
     if rng is not None and attn_dropout > 0.0:
         p = layers.dropout(p, attn_dropout, rng)
+    if v_scale is not None:
+        # fold the column scales into p, keep v as int8 matmul operand
+        p = p * jnp.swapaxes(v_scale, -1, -2)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype),
+                          v.astype(q.dtype))
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
@@ -288,14 +316,29 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
         # HBM writes per step, vs the O(Lmax) full-cache rewrite of a
         # one-hot-matmul update. Slots at/after a row's write position are
         # invisible until written (kv_len mask below), so overwrite is safe.
-        k_cache, v_cache = cache["k"], cache["v"]
         pos = idx[:, None] + jnp.arange(l)[None, :]           # (B, L)
         b_idx = jnp.arange(b)[:, None]                        # (B, 1)
-        # advanced indices (B,L) around the H slice put (B, L) in front:
-        # value layout (B, L, H, hd)
-        k_cache = k_cache.at[b_idx, :, pos, :].set(jnp.swapaxes(k, 1, 2))
-        v_cache = v_cache.at[b_idx, :, pos, :].set(jnp.swapaxes(v, 1, 2))
-        new_cache = {"k": k_cache, "v": v_cache}
+        quant_cache = "k_scale" in cache
+        if quant_cache:
+            # int8 KV cache (cfg.kv_cache_dtype): quantize on write
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            new_cache = {
+                "k": cache["k"].at[b_idx, :, pos, :].set(
+                    jnp.swapaxes(kq, 1, 2)),
+                "k_scale": cache["k_scale"].at[b_idx, :, pos, :].set(
+                    jnp.swapaxes(ks, 1, 2)),
+                "v": cache["v"].at[b_idx, :, pos, :].set(
+                    jnp.swapaxes(vq, 1, 2)),
+                "v_scale": cache["v_scale"].at[b_idx, :, pos, :].set(
+                    jnp.swapaxes(vs, 1, 2)),
+            }
+        else:
+            # advanced indices (B,L) around the H slice put (B, L) in front:
+            # value layout (B, L, H, hd)
+            k_cache = cache["k"].at[b_idx, :, pos, :].set(jnp.swapaxes(k, 1, 2))
+            v_cache = cache["v"].at[b_idx, :, pos, :].set(jnp.swapaxes(v, 1, 2))
+            new_cache = {"k": k_cache, "v": v_cache}
         kv_len = idx + l
         if prefill and use_flash and l >= _FLASH_MIN_LEN:
             # prefill writes at index 0 (caller's contract): attention over
@@ -308,9 +351,14 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                                 block_q=flash_block_q, block_kv=flash_block_kv,
                                 interpret=interpret)
         else:
-            o = _jnp_attention(q, k_cache, v_cache, causal=causal,
+            o = _jnp_attention(q, new_cache["k"], new_cache["v"],
+                               causal=causal,
                                kv_len=kv_len, attn_dropout=0.0, rng=None,
-                               q_offset=idx)
+                               q_offset=idx,
+                               k_scale=(new_cache["k_scale"] if quant_cache
+                                        else None),
+                               v_scale=(new_cache["v_scale"] if quant_cache
+                                        else None))
         o = o.astype(x.dtype)
 
     o = _merge_heads(o)

@@ -59,10 +59,14 @@ def init_ffn(key, embed_dim: int, ffn_dim: int, *, subln: bool = True):
 
 
 def ffn(params, x, *, activation: str = "gelu", dropout_rate: float = 0.0,
-        activation_dropout: float = 0.0, rng=None, dtype=None):
+        activation_dropout: float = 0.0, rng=None, dtype=None,
+        activation_fp32: bool = True):
     act = layers.activation_fn(activation)
     h = layers.linear(params["fc1"], x, dtype=dtype)
-    h = act(h.astype(jnp.float32)).astype(h.dtype)  # fp32 activation discipline
+    if activation_fp32:  # torchscale discipline: activation_fn(x.float())
+        h = act(h.astype(jnp.float32)).astype(h.dtype)
+    else:                # compute-dtype gelu (cfg.activation_fp32=False)
+        h = act(h)
     if rng is not None and activation_dropout > 0.0:
         rng, sub = jax.random.split(rng)
         h = layers.dropout(h, activation_dropout, sub)
@@ -157,7 +161,8 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         lambda p, xx: ffn(p, xx, activation=cfg.activation,
                           dropout_rate=cfg.dropout,
                           activation_dropout=cfg.activation_dropout,
-                          rng=rngs[2], dtype=dtype),
+                          rng=rngs[2], dtype=dtype,
+                          activation_fp32=cfg.activation_fp32),
         params["ffn"], h, split)
     x = residual + h
     return x, new_cache
@@ -385,10 +390,25 @@ def decoder_forward(params, tokens, cfg: MagnetoConfig, *,
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: MagnetoConfig, batch: int, max_len: int, dtype=None):
-    """Zeroed per-layer KV caches. Stacked (layers, ...) when scan_layers."""
-    dtype = dtype or cfg.dtype
+    """Zeroed per-layer KV caches. Stacked (layers, ...) when scan_layers.
+
+    ``cfg.kv_cache_dtype == "int8"``: storage is per-position symmetric int8
+    codes + fp32 scales (``{"k","k_scale","v","v_scale"}``) — halves decode
+    cache-read bandwidth; nn/attention quantizes on write and fuses the
+    dequant into the attention matmuls."""
     hd = cfg.head_dim
     shape = (batch, cfg.heads, max_len, hd)
+    sshape = (batch, cfg.heads, max_len, 1)
+    if cfg.kv_cache_dtype == "int8":
+        def make(prefix_shape=()):
+            return {"k": jnp.zeros(prefix_shape + shape, jnp.int8),
+                    "k_scale": jnp.ones(prefix_shape + sshape, jnp.float32),
+                    "v": jnp.zeros(prefix_shape + shape, jnp.int8),
+                    "v_scale": jnp.ones(prefix_shape + sshape, jnp.float32)}
+        if cfg.scan_layers:
+            return make((cfg.layers,))
+        return [make() for _ in range(cfg.layers)]
+    dtype = dtype or cfg.dtype
     one = lambda: {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if cfg.scan_layers:
         stacked = (cfg.layers,) + shape

@@ -63,15 +63,20 @@ class ServeConfig:
     # draft_params/draft_cfg), every engine step runs one speculative round
     # — the draft proposes spec_gamma tokens per slot, the target verifies
     # them in ONE chunked forward, and each active slot commits 1..gamma+1
-    # tokens per step. Text-only requests (the draft cannot model image
-    # positions).
+    # tokens per step. Multimodal slots work too: the draft proposes from
+    # TOKENS alone (its cache index lags the target's by the image-embed
+    # count); the target's verify forward carries the image context, so
+    # correctness is unchanged — only the acceptance rate depends on how
+    # image-dependent the continuation is.
     spec_gamma: int = 0
-    # Chunked prefill: when > 0, text-request admission does NO prefill
-    # work up front; the engine ingests the prompt prefill_chunk tokens per
-    # step through a pooled multi-token cached forward, interleaved with
-    # the decode steps of in-flight slots. Bounds the admission stall for
-    # long prompts to one chunk per step instead of one full prompt
-    # (text-only; multimodal admissions keep the one-shot path).
+    # Chunked prefill: when > 0, request admission does NO full-prompt
+    # prefill up front; the engine ingests the prompt prefill_chunk tokens
+    # per step through a pooled multi-token cached forward, interleaved
+    # with the decode steps of in-flight slots. Multimodal admissions run
+    # the vision tower + a spliced-prefix prefill once (splice_index tokens
+    # + image embeds), then their text remainder joins the chunk stream.
+    # Bounds the admission stall to one chunk per step instead of one full
+    # prompt.
     prefill_chunk: int = 0
 
 
@@ -149,6 +154,43 @@ def _prefill_mm_one_jit(params, prompt, images, length, rng,
     return first, caches, full_length
 
 
+@functools.partial(jax.jit, static_argnames=("kcfg", "max_len"))
+def _prefill_mm_prefix_jit(params, prefix, images, kcfg: KosmosConfig,
+                           max_len: int):
+    """Chunked multimodal admission, step 1 of 2: run the vision tower ONCE
+    and prefill only the spliced PREFIX — ``splice_index`` text tokens
+    followed by the image embeddings. The text remainder then streams
+    through the pooled chunked path (``_prefill_chunk_pool_jit``)
+    interleaved with other slots' decode steps, so a long multimodal prompt
+    never stalls the pool behind a whole-prompt prefill.
+
+    prefix (1, splice_index) int32; images (1, [M,] 3, H, W).
+    Returns (batch-1 caches, cached length = splice_index + M*K).
+    """
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    dcfg = kcfg.decoder
+    img = Kosmos.encode_images(params, images, kcfg)   # (1, [M,] K, D)
+    if img.ndim == 4:
+        img = img.reshape(1, -1, img.shape[-1])        # (1, M*K, D)
+    text_emb = dec.embed_only(params["decoder"], dcfg, prefix)
+    spliced = jnp.concatenate([text_emb, img.astype(text_emb.dtype)], axis=1)
+    if kcfg.parity_double_scale:
+        x, _ = dec.forward_embedding(params["decoder"], dcfg,
+                                     token_embedding=spliced)
+    else:
+        pos = layers.positional_embedding(
+            params["decoder"]["pos"], spliced.shape[1],
+            padding_idx=dcfg.padding_idx, dtype=dcfg.dtype)
+        x = spliced + pos
+    lp = spliced.shape[1]
+    length = jnp.asarray([lp], jnp.int32)
+    seg = jnp.zeros((1, lp), jnp.int32)
+    caches = dec.init_cache(dcfg, batch=1, max_len=max_len)
+    _, caches = _prefill(params["decoder"], dcfg, x, caches, length, seg)
+    return caches, length
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _insert_slot_jit(caches, caches_one, slot):
     """Write a batch-1 cache into slot ``slot`` of the pooled cache.
@@ -196,23 +238,27 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
                                              "double_scale"),
                    donate_argnums=(3, 4))  # in-place cache scatters
 def _spec_step_pool_jit(params, dparams, last_tokens, caches, dcaches,
-                        index, active, rng, cfg: MagnetoConfig,
+                        index, index_d, active, rng, cfg: MagnetoConfig,
                         dcfg: MagnetoConfig, scfg: SamplingConfig,
                         gamma: int, pad_id: int = 1,
                         double_scale: bool = False):
     """One speculative round for every slot (generate.speculative
     .spec_round over the pool). Inactive slots compute on pad feed; their
-    index does not advance and their emitted tokens are ignored."""
+    index does not advance and their emitted tokens are ignored.
+    ``index_d`` is the draft's own cache index (= ``index`` minus the slot's
+    image-embed count for multimodal slots — the text-only draft never saw
+    the spliced image positions)."""
     from kosmosx_tpu.generate.speculative import spec_round
 
     last_tokens = jnp.where(active, last_tokens, pad_id)
     emit, n_acc, carry_next, caches, dcaches, _ = spec_round(
         params, dparams, cfg, dcfg, scfg, gamma,
         last_tokens, index, caches, dcaches, rng,
-        double_scale_t=double_scale)
+        double_scale_t=double_scale, index_d=index_d)
     n_emit = jnp.where(active, n_acc + 1, 0)
     index = index + n_emit
-    return emit, n_emit, carry_next, caches, dcaches, index
+    index_d = index_d + n_emit
+    return emit, n_emit, carry_next, caches, dcaches, index, index_d
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "double_scale"),
@@ -307,6 +353,11 @@ class ServeEngine:
                     "temperature sampling")
             self.draft_caches = dec.init_cache(draft_cfg, batch=b,
                                                max_len=self.scfg.max_len)
+            # the draft's own cache index: equals the target's for text
+            # slots; lags by n_images*image_embed_len for multimodal slots
+            # (the text-only draft proposes from tokens alone; the target's
+            # verify forward carries the image context)
+            self.index_d = jnp.zeros((b,), jnp.int32)
         self.accepted_total = 0   # speculative observability
         self.emitted_total = 0
         # chunked prefill (ServeConfig.prefill_chunk)
@@ -346,10 +397,6 @@ class ServeEngine:
                                  "multimodal requests need one")
             n_img = images.shape[0] if images.ndim == 4 else 1
             extra = n_img * self.kcfg.image_embed_len
-        if images is not None and self.spec:
-            raise NotImplementedError(
-                "speculative serving is text-only (the draft cannot model "
-                "image positions)")
         # headroom: EOS/budget detection lags sync_lag steps, and each
         # speculative round writes gamma cache positions past its committed
         # index, so a slot can touch cache slots past its budget
@@ -378,14 +425,29 @@ class ServeEngine:
 
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
-        if self.chunked and req.images is None:
-            # no device work now: the prompt streams in chunk-by-chunk via
-            # _advance_prefill, interleaved with other slots' decode steps
+        s_idx = self.kcfg.splice_index if self.kcfg is not None else 0
+        if self.chunked and (req.images is None or len(praw) > s_idx):
+            # no full-prompt device work now: the text streams in
+            # chunk-by-chunk via _advance_prefill, interleaved with other
+            # slots' decode steps
             self._prompt_rows[slot, :] = self.scfg.pad_id
             self._prompt_rows[slot, :len(praw)] = praw
-            self._pf_pos[slot] = 0
             self._pf_len[slot] = len(praw)
-            self.index = self.index.at[slot].set(0)
+            if req.images is not None:
+                # one-shot vision tower + spliced-prefix prefill (cheap:
+                # splice_index tokens + M*64 image embeds); the text
+                # remainder joins the pooled chunk stream at s_idx
+                images = (req.images if req.images.ndim == 5
+                          else req.images[None])
+                c1, idx0 = _prefill_mm_prefix_jit(
+                    self.params, jnp.asarray(praw[:s_idx])[None, :], images,
+                    self.kcfg, self.scfg.max_len)
+                self.caches = _insert_slot_jit(self.caches, c1, slot)
+                self._pf_pos[slot] = s_idx
+                self.index = self.index.at[slot].set(idx0[0])
+            else:
+                self._pf_pos[slot] = 0
+                self.index = self.index.at[slot].set(0)
             self.slots[slot] = req
             self._active_dev = None
             return
@@ -407,12 +469,17 @@ class ServeEngine:
             idx = length
         self.caches = _insert_slot_jit(self.caches, c1, slot)
         if self.spec:
+            # the draft prefills on the TOKENS only (for multimodal slots
+            # that's the raw prompt incl. the <image></image> tag ids; it
+            # never sees image embeddings — the target's verify carries the
+            # image context). The draft never double-scales.
             _, cd1 = _prefill_one_jit(
                 self.draft_params, prompt, length, self._fold(),
                 self.draft_cfg, self.sampling, self.scfg.max_len,
-                self.interpret)
+                interpret=self.interpret)
             self.draft_caches = _insert_slot_jit(self.draft_caches, cd1,
                                                  slot)
+            self.index_d = self.index_d.at[slot].set(len(praw))
         self.index = self.index.at[slot].set(idx[0])
         self._active_dev = None
         tok = int(first[0])
@@ -512,9 +579,10 @@ class ServeEngine:
             active = self._active_dev
             if self.spec:
                 emit, n_emit, carry, self.caches, self.draft_caches, \
-                    self.index = _spec_step_pool_jit(
+                    self.index, self.index_d = _spec_step_pool_jit(
                         self.dec_params, self.draft_params, self.last,
-                        self.caches, self.draft_caches, self.index, active,
+                        self.caches, self.draft_caches, self.index,
+                        self.index_d, active,
                         self._fold(), self.cfg, self.draft_cfg,
                         self.sampling, self.scfg.spec_gamma,
                         pad_id=self.scfg.pad_id,

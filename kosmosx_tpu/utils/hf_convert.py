@@ -76,3 +76,35 @@ def clip_vision_params_from_hf(model_or_state_dict) -> Dict[str, Any]:
         "layers": layers,
         "post_ln": _ln(sd, "post_layernorm"),
     }
+
+
+def load_clip_checkpoint(path: str) -> Dict[str, Any]:
+    """File-based CLIP vision import: a local HF checkpoint file
+    (``model.safetensors`` or torch ``pytorch_model.bin``, or a directory
+    containing one) -> nn.vision pytree. This is the offline path for the
+    laion ViT-L/14 weights the reference downloads at construction
+    (/root/reference/kosmosx/model.py:154-156) — fetch the file once,
+    convert here, no network at model build time.
+    """
+    import os
+
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"{path}: no model.safetensors / pytorch_model.bin")
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd: Dict[str, Any] = load_file(path)
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    # full CLIPModel checkpoints carry text_model.* too; the vision_model
+    # prefix is stripped by clip_vision_params_from_hf
+    return clip_vision_params_from_hf(sd)

@@ -164,3 +164,66 @@ def test_remat_policies_grads_match(policy):
     g1 = jax.grad(loss(cfg))(p)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_kv_cache_tracks_fp_cache():
+    """Decode with an int8 KV cache (cfg.kv_cache_dtype) must track the
+    full-precision cache logits closely, and greedy decode from a real
+    prompt should be token-identical at this scale."""
+    import dataclasses
+
+    cfg_q = dataclasses.replace(CFG, kv_cache_dtype="int8")
+    p = _params()
+    toks = jax.random.randint(jax.random.PRNGKey(4), (2, 10), 2,
+                              CFG.vocab_size)
+
+    def decode_all(cfg):
+        caches = dec.init_cache(cfg, batch=2, max_len=16)
+        outs = []
+        for t in range(10):
+            x, _ = dec.forward_embedding(p, cfg, toks[:, t:t + 1], offset=t)
+            h, caches = dec.run_layers(p, x, cfg, caches=caches,
+                                       cache_index=jnp.full((2,), t,
+                                                            jnp.int32))
+            outs.append(dec.output_logits(p, h, cfg))
+        return jnp.concatenate(outs, axis=1)
+
+    fp = np.asarray(decode_all(CFG))
+    q8 = np.asarray(decode_all(cfg_q))
+    # int8 cache: small numeric divergence, same rankings at tiny scale
+    err = np.abs(q8 - fp).max() / (np.abs(fp).max() + 1e-9)
+    assert err < 0.05, err
+    np.testing.assert_array_equal(q8.argmax(-1), fp.argmax(-1))
+
+
+def test_int8_kv_cache_generate_and_serve():
+    """generate_text and the serving engine run with kv_cache_dtype=int8
+    (cache pytree has the scale leaves; slot insert / donation work)."""
+    import dataclasses
+
+    from kosmosx_tpu.generate import SamplingConfig, generate_text
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    cfg_q = dataclasses.replace(CFG, scan_layers=True,
+                                kv_cache_dtype="int8")
+    p = dec.init_decoder(jax.random.PRNGKey(0), cfg_q)
+    prompt = jnp.asarray([[3, 5, 7, 9]], jnp.int32)
+    out = generate_text(p, cfg_q, prompt,
+                        SamplingConfig(max_new_tokens=6, greedy=True))
+    assert out.shape == (1, 6)
+
+    eng = ServeEngine(p, cfg_q,
+                      ServeConfig(max_batch=2, max_prompt_len=8, max_len=32),
+                      SamplingConfig(greedy=True))
+    h = eng.submit([3, 5, 7, 9], max_new_tokens=6)
+    eng.run()
+    assert h.done and len(h.tokens) == 6
+    # int8 greedy tokens match the fp-cache engine at this scale
+    cfg_fp = dataclasses.replace(cfg_q, kv_cache_dtype=None)
+    eng2 = ServeEngine(p, cfg_fp,
+                       ServeConfig(max_batch=2, max_prompt_len=8,
+                                   max_len=32),
+                       SamplingConfig(greedy=True))
+    h2 = eng2.submit([3, 5, 7, 9], max_new_tokens=6)
+    eng2.run()
+    assert h.tokens == h2.tokens

@@ -78,3 +78,35 @@ def test_random_init_runs():
     out = clip_vit(params, jnp.zeros((1, 3, 28, 28)), cfg)
     assert out.shape == (1, 5, 32)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_file_based_clip_import(hf_pair, tmp_path):
+    """load_clip_checkpoint reads a saved HF checkpoint file (safetensors
+    and torch .bin) and the imported params reproduce the HF forward."""
+    import torch
+
+    from kosmosx_tpu.nn.vision import clip_vit
+    from kosmosx_tpu.utils.hf_convert import load_clip_checkpoint
+
+    model, cfg, params_ref = hf_pair
+    # safetensors directory layout
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    from safetensors.torch import save_file
+    save_file({k: v.contiguous() for k, v in model.state_dict().items()},
+              str(d / "model.safetensors"))
+    params = load_clip_checkpoint(str(d))
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(3),
+                                      (1, 3, cfg.image_size, cfg.image_size)))
+    ours = clip_vit(params, jnp.asarray(x), cfg)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(x)).last_hidden_state
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+    # torch .bin layout
+    torch.save(model.state_dict(), str(tmp_path / "pytorch_model.bin"))
+    params2 = load_clip_checkpoint(str(tmp_path / "pytorch_model.bin"))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

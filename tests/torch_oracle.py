@@ -28,7 +28,7 @@ def _mw(p):
 
 
 def _t(x) -> torch.Tensor:
-    return torch.from_numpy(np.asarray(x)).to(torch.float32)
+    return torch.from_numpy(np.array(x)).to(torch.float32)
 
 
 def _linear(p, x):
@@ -119,7 +119,7 @@ def decoder_forward_oracle(params, tokens, cfg):
     params["layers"] is a list). tokens: (B, L) numpy int. Returns numpy
     logits (B, L, vocab).
     """
-    tokens = torch.from_numpy(np.asarray(tokens)).long()
+    tokens = torch.from_numpy(np.array(tokens)).long()
     emb = _t(params["embed"]["table"])[tokens]               # (B, L, D)
     x = cfg.embed_scale * emb
     l = tokens.shape[1]
