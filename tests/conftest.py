@@ -24,6 +24,19 @@ try:
 except Exception:
     pass
 
+# Persistent compilation cache: warm re-runs of the suite skip most XLA
+# compiles (measured ~2x on compile-heavy files; the box has ONE core, so
+# compile time dominates the fast tier).
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 

@@ -52,6 +52,7 @@ def test_conditional_builds_only_requested_towers():
         m(jnp.ones((1, 8), jnp.int32), images=jnp.zeros((1, 3, 28, 28)))
 
 
+@pytest.mark.slow
 def test_conditional_forward_all_modalities():
     m = KosmosConditional(modalities=("text", "image", "audio", "video"),
                           decoder=DEC, vision=VIS, resampler=RES, audio=AUD,

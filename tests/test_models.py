@@ -62,6 +62,7 @@ def test_kosmos_forward_shape(kosmos):
     assert out.shape == (2, 16 + 8, 100)
 
 
+@pytest.mark.slow
 def test_kosmos_gradients_finite(kosmos):
     """Analog of the reference's NaN/Inf gradient scan
     (/root/reference/tests/test_kosmos.py:25-38)."""
@@ -125,6 +126,7 @@ def test_kosmos_multi_image(kosmos):
     assert out.shape == (1, 16 + 2 * 8, 100)
 
 
+@pytest.mark.slow
 def test_kosmos_padding_mask_isolates_pad(kosmos):
     """With use_padding_mask, trailing pad tokens must not change real-token
     logits (the correct combined mask the reference lacks, SURVEY.md §3.4)."""

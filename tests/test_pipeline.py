@@ -48,9 +48,9 @@ def _ref_loss_and_grads(params, tokens, labels, weights):
 
 
 @pytest.mark.parametrize("data,pipe,microbatches", [
-    (2, 4, 2),   # dp x pp, pipeline bubble (M < S)
+    pytest.param(2, 4, 2, marks=pytest.mark.slow),  # dp x pp, bubble (M < S)
     (1, 4, 8),   # deep microbatching (M > S)
-    (4, 2, 2),
+    pytest.param(4, 2, 2, marks=pytest.mark.slow),
 ])
 def test_pipeline_step_matches_single_device(devices, data, pipe,
                                              microbatches):
@@ -76,6 +76,7 @@ def test_pipeline_step_matches_single_device(devices, data, pipe,
                                    rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_params_actually_sharded(devices):
     """Layer params and their Lion moments land sharded over the pipe axis;
     loss decreases over steps."""
@@ -165,6 +166,7 @@ def test_1f1b_matches_single_device(devices, data, pipe, microbatches):
                                    rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_1f1b_loss_decreases(devices):
     mesh = make_pp_mesh(data=2, pipe=4)
     params = dec.init_decoder(jax.random.PRNGKey(0), CFG)

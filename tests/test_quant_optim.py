@@ -79,6 +79,7 @@ def test_8bit_tracks_fp32_on_quadratic(make8, make32):
     assert l8 < 2.5 * l32 + 0.05, (l8, l32)      # and tracks fp32
 
 
+@pytest.mark.slow
 def test_trainer_integration_8bit(devices):
     from kosmosx_tpu.train.data import synthetic_text_batches
     from kosmosx_tpu.train.trainer import TrainConfig, Trainer, lm_loss_fn

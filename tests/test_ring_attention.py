@@ -40,6 +40,7 @@ def _ring_full(q, k, v, *, causal):
     return fn(q, k, v)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("causal", [True, False])
 def test_ring_forward_matches_reference(devices, causal):
     key = jax.random.PRNGKey(0)
@@ -202,6 +203,7 @@ def _segments(key, b, l):
     return seg
 
 
+@pytest.mark.slow
 def test_ring_segments_match_reference(devices):
     key = jax.random.PRNGKey(7)
     q = jax.random.normal(key, (B, H, L, D)) * 0.5
@@ -231,6 +233,7 @@ def test_ring_segments_match_reference(devices):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_segments_backward(devices):
     key = jax.random.PRNGKey(11)
     q = jax.random.normal(key, (B, H, L, D)) * 0.5
@@ -266,15 +269,17 @@ def test_ring_segments_backward(devices):
                                    rtol=2e-3, atol=2e-3, err_msg=name)
 
 
-# zigzag needs half-shards lane-aligned: 4 shards x 256 => halves of 128
+# zigzag needs half-shards lane-aligned: shards of 256 => halves of 128.
+# S=2 runs in the fast tier (both selection branches exercised); S=4 adds
+# multi-hop rotation and runs in the slow tier.
 ZL_S = 256
-ZL = S * ZL_S
+ZZ_SHARDS = [2, pytest.param(4, marks=pytest.mark.slow)]
 
 
-def _zz_run(q, k, v, seg=None, *, backward_g=None):
+def _zz_run(q, k, v, seg=None, *, s, backward_g=None):
     """Run zigzag ring on zigzag-permuted inputs; return output in the
     ORIGINAL order (and grads, if backward_g given)."""
-    mesh = _mesh()
+    mesh = Mesh(np.array(jax.devices()[:s]).reshape(s), ("sequence",))
 
     def shard_fn(q, k, v, seg):
         return zigzag_ring_flash_attention(q, k, v, "sequence",
@@ -296,15 +301,15 @@ def _zz_run(q, k, v, seg=None, *, backward_g=None):
                            check_vma=False)
 
     def apply(q, k, v):
-        qz = zigzag_permute(q, S, axis=2)
-        kz = zigzag_permute(k, S, axis=2)
-        vz = zigzag_permute(v, S, axis=2)
+        qz = zigzag_permute(q, s, axis=2)
+        kz = zigzag_permute(k, s, axis=2)
+        vz = zigzag_permute(v, s, axis=2)
         if seg is not None:
-            sz = zigzag_permute(seg, S, axis=1)
+            sz = zigzag_permute(seg, s, axis=1)
             oz = fn(qz, kz, vz, sz)
         else:
             oz = fn(qz, kz, vz)
-        return zigzag_unpermute(oz, S, axis=2)
+        return zigzag_unpermute(oz, s, axis=2)
 
     if backward_g is None:
         return apply(q, k, v)
@@ -312,24 +317,28 @@ def _zz_run(q, k, v, seg=None, *, backward_g=None):
                     argnums=(0, 1, 2))(q, k, v)
 
 
-def test_zigzag_forward_matches_reference(devices):
+@pytest.mark.parametrize("s", ZZ_SHARDS)
+def test_zigzag_forward_matches_reference(devices, s):
+    ZL = s * ZL_S
     key = jax.random.PRNGKey(21)
     q = jax.random.normal(key, (1, 2, ZL, D)) * 0.5
     k = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, ZL, D)) * 0.5
     v = jax.random.normal(jax.random.fold_in(key, 2), (1, 2, ZL, D))
-    out = _zz_run(q, k, v)
+    out = _zz_run(q, k, v, s=s)
     ref = mha_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
 
 
-def test_zigzag_forward_with_segments(devices):
+@pytest.mark.parametrize("s", [2])
+def test_zigzag_forward_with_segments(devices, s):
+    ZL = s * ZL_S
     key = jax.random.PRNGKey(22)
     q = jax.random.normal(key, (2, 2, ZL, D)) * 0.5
     k = jax.random.normal(jax.random.fold_in(key, 1), (2, 2, ZL, D)) * 0.5
     v = jax.random.normal(jax.random.fold_in(key, 2), (2, 2, ZL, D))
     seg = _segments(jax.random.fold_in(key, 3), 2, ZL)
-    out = _zz_run(q, k, v, seg)
+    out = _zz_run(q, k, v, seg, s=s)
     ref = mha_reference(q, k, v, causal=True, q_segment_ids=seg,
                         kv_segment_ids=seg)
     valid = np.asarray(seg >= 0)[:, None, :, None]
@@ -338,13 +347,15 @@ def test_zigzag_forward_with_segments(devices):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_zigzag_backward_matches_reference(devices):
+@pytest.mark.parametrize("s", ZZ_SHARDS)
+def test_zigzag_backward_matches_reference(devices, s):
+    ZL = s * ZL_S
     key = jax.random.PRNGKey(23)
     q = jax.random.normal(key, (1, 2, ZL, D)) * 0.5
     k = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, ZL, D)) * 0.5
     v = jax.random.normal(jax.random.fold_in(key, 2), (1, 2, ZL, D))
     g = jax.random.normal(jax.random.fold_in(key, 3), (1, 2, ZL, D))
-    d_zz = _zz_run(q, k, v, backward_g=g)
+    d_zz = _zz_run(q, k, v, s=s, backward_g=g)
     d_ref = jax.grad(lambda q, k, v: jnp.sum(
         mha_reference(q, k, v, causal=True) * g), argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(d_zz, d_ref, ("dq", "dk", "dv")):
@@ -374,6 +385,7 @@ def test_zigzag_position_offsets_cover_all(devices):
     assert sorted(covered) == list(range(s * ls))
 
 
+@pytest.mark.slow
 def test_sp_train_step_padded_batch_matches_single_device(devices):
     """Padded/packed batches under SP (segment_ids) — the round-1
     NotImplementedError is gone and the math matches single-device."""

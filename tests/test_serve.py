@@ -40,6 +40,7 @@ def _prompts(n, key=7):
     return out
 
 
+@pytest.mark.slow
 def test_engine_matches_one_shot_greedy(params):
     prompts = _prompts(5)
     new = 6
@@ -385,6 +386,7 @@ def _tiny_kcfg():
         image_embed_len=4)
 
 
+@pytest.mark.slow
 def test_engine_multimodal_chunked_prefill_matches_oneshot(devices):
     """Multimodal admission under chunked prefill (vision tower + spliced
     prefix once, text remainder streamed) must produce the one-shot greedy

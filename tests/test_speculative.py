@@ -49,6 +49,7 @@ def test_greedy_matches_generate_text(models, gamma):
     assert stats["rounds"] >= 1
 
 
+@pytest.mark.slow
 def test_self_draft_accepts_everything(models):
     """Draft == target -> every greedy proposal accepted: rounds collapse to
     ceil((T-1)/(gamma+1))."""
@@ -62,6 +63,7 @@ def test_self_draft_accepts_everything(models):
     assert stats["rounds"] == -(-(13 - 1) // 4)  # 3 rounds of gamma+1
 
 
+@pytest.mark.slow
 def test_greedy_with_eos_matches(models):
     pt, pd = models
     prompt = _prompt(seed=11)
