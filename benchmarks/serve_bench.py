@@ -171,6 +171,7 @@ def main(argv=None):
                   f"{' + CLIP ViT-L/14 + resampler' if kcfg else ''}, "
                   f"bf16, {args.slots} slots, "
                   f"continuous batching{', w8' if args.w8 else ''}"
+                  f"{', kv8' if args.kv8 else ''}"
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
                   f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''})",

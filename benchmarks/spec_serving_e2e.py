@@ -41,6 +41,12 @@ def main(argv=None):
     ap.add_argument("--target-cache", default="/tmp/spec_e2e_target.npz",
                     help="save/load the pretrained target here (skips the "
                          "pretrain phase when present)")
+    ap.add_argument("--draft-cache", default="/tmp/spec_e2e_draft.npz",
+                    help="save/load the distilled draft here (skips the "
+                         "distill phase when present)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="serve both engines with an int8 KV cache "
+                         "(kv_cache_dtype='int8')")
     args = ap.parse_args(argv)
 
     import jax
@@ -122,38 +128,64 @@ def main(argv=None):
     # batches drawn from the SAME distribution as the pretraining data and
     # the serving prompts, so the acceptance below is in-distribution
     # bf16 distillation at 1e-3 diverged (NaN around step 700); clip + 5e-4
-    opt = optax.chain(optax.clip_by_global_norm(1.0),
-                      optax.adamw(5e-4, weight_decay=0.0))
     draft0 = init_casted(lambda k: dec.init_decoder(k, dcfg),
                          jax.random.PRNGKey(7), cfg.dtype)
-    state = {"params": draft0, "opt_state": opt.init(draft0)}
-    step = make_distill_step(dcfg, cfg, opt, temperature=1.0)
-    mask = jnp.ones((args.distill_batch, args.distill_seq), jnp.float32)
-    t0 = time.perf_counter()
-    agree = 0.0
-    ddata = synthetic_text_batches(batch_size=args.distill_batch,
-                                   seq_len=args.distill_seq,
-                                   vocab_size=cfg.vocab_size, seed=23)
-    for i in range(args.distill_steps):
-        toks = jnp.asarray(next(ddata)["input_ids"])
-        state, metrics = step(state, params, toks, mask)
-        if (i + 1) % 100 == 0:
-            agree = float(metrics["teacher_agreement"])
-            print(f"# distill step {i + 1}: loss "
-                  f"{float(metrics['distill_loss']):.4f} "
-                  f"agreement {agree:.3f} "
-                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
-    draft = state["params"]
-    distill_s = time.perf_counter() - t0
+    dflat_paths = [".".join(str(getattr(p, "key", p)) for p in path)
+                   for path, _ in
+                   jax.tree_util.tree_flatten_with_path(draft0)[0]]
+    if args.draft_cache and os.path.exists(args.draft_cache):
+        loaded = np.load(args.draft_cache)
+        leaves = [jnp.asarray(loaded[k]).astype(l.dtype) for k, l in
+                  zip(dflat_paths, jax.tree_util.tree_leaves(draft0))]
+        draft = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(draft0), leaves)
+        agree = float(loaded["__teacher_agreement__"]) \
+            if "__teacher_agreement__" in loaded else -1.0
+        distill_s = 0.0
+        print(f"# loaded distilled draft from {args.draft_cache}",
+              file=sys.stderr)
+    else:
+        opt = optax.chain(optax.clip_by_global_norm(1.0),
+                          optax.adamw(5e-4, weight_decay=0.0))
+        state = {"params": draft0, "opt_state": opt.init(draft0)}
+        step = make_distill_step(dcfg, cfg, opt, temperature=1.0)
+        mask = jnp.ones((args.distill_batch, args.distill_seq), jnp.float32)
+        t0 = time.perf_counter()
+        agree = 0.0
+        ddata = synthetic_text_batches(batch_size=args.distill_batch,
+                                       seq_len=args.distill_seq,
+                                       vocab_size=cfg.vocab_size, seed=23)
+        for i in range(args.distill_steps):
+            toks = jnp.asarray(next(ddata)["input_ids"])
+            state, metrics = step(state, params, toks, mask)
+            if (i + 1) % 100 == 0:
+                agree = float(metrics["teacher_agreement"])
+                print(f"# distill step {i + 1}: loss "
+                      f"{float(metrics['distill_loss']):.4f} "
+                      f"agreement {agree:.3f} "
+                      f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+        draft = state["params"]
+        distill_s = time.perf_counter() - t0
+        if args.draft_cache:
+            np.savez(args.draft_cache,
+                     __teacher_agreement__=np.float32(agree),
+                     **{k: np.asarray(jax.device_get(v), np.float32)
+                        for k, v in zip(dflat_paths,
+                                        jax.tree_util.tree_leaves(draft))})
 
     # -- serve with the distilled draft --------------------------------------
     rng = np.random.RandomState(1)
+
+    scfg = dataclasses.replace(
+        cfg, kv_cache_dtype="int8" if args.kv8 else None)
+    sdcfg = dataclasses.replace(
+        dcfg, kv_cache_dtype="int8" if args.kv8 else None)
 
     def run_engine(spec: bool):
         window = ((args.sync_lag + 1) * (args.gamma + 1)
                   if spec else args.sync_lag)
         eng = ServeEngine(
-            params, cfg,
+            params, scfg,
             ServeConfig(max_batch=args.slots,
                         max_prompt_len=args.prompt_len,
                         max_len=args.prompt_len + args.new_tokens + window,
@@ -161,7 +193,7 @@ def main(argv=None):
                         spec_gamma=args.gamma if spec else 0),
             SamplingConfig(greedy=True),
             draft_params=draft if spec else None,
-            draft_cfg=dcfg if spec else None)
+            draft_cfg=sdcfg if spec else None)
         # prompts from the training distribution (prefixes of synthetic
         # sequences), so the serving-time acceptance is in-distribution
         pdata = synthetic_text_batches(batch_size=1,
@@ -199,7 +231,8 @@ def main(argv=None):
     print(json.dumps({
         "metric": f"DISTILLED speculative serving tokens/sec "
                   f"({args.layers}L target + {args.draft_layers}L distilled "
-                  f"draft, gamma={args.gamma}, {args.slots} slots, bf16)",
+                  f"draft, gamma={args.gamma}, {args.slots} slots, bf16"
+                  f"{', kv8' if args.kv8 else ''})",
         "value": round(tps_spec, 1),
         "unit": "tokens/sec/chip",
         "vs_plain_engine": round(tps_spec / tps_plain, 3),

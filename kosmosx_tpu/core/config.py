@@ -71,9 +71,12 @@ class MagnetoConfig:
     # numerics / execution
     compute_dtype: str = "float32"
     # torchscale computes the FFN activation in fp32 (``activation_fn(
-    # x.float())``) — kept True for parity. False runs the gelu in the
-    # compute dtype: measured 34.1 ms (10%) off the flagship bf16 forward
-    # (BASELINE.md decoder anatomy) at a small, documented numeric delta.
+    # x.float())``) — kept True for parity. NOTE (measured, BASELINE.md
+    # gelu-variant study): False does NOT make the flagship faster — the
+    # 34.1 ms activation cost is the erf transcendental, not the fp32
+    # cast. The perf lever for from-scratch training is
+    # ``activation="gelu_tanh"`` (−30.6 ms, ~9% of the batch-6 forward),
+    # a different (standard) activation — not checkpoint-parity with erf.
     activation_fp32: bool = True
     use_flash_attention: bool = True
     # 1024x1024 measured fastest on v5e for the flagship at seq 2048
