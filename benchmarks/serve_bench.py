@@ -150,6 +150,10 @@ def main(argv=None):
             p, im = pending.pop()
             handles.append(eng.submit(p, max_new_tokens=args.new_tokens,
                                       images=im))
+            # just-admitted requests still need decode steps — don't break
+            # on the pre-admission ``alive`` (lockstep completions would
+            # otherwise drop the final wave's tokens)
+            alive = True
         if not alive and not pending:
             break
     dt = time.perf_counter() - t0

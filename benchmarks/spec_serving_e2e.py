@@ -213,6 +213,11 @@ def main(argv=None):
             while rest and eng.num_active < args.slots:
                 handles.append(eng.submit(rest.pop(),
                                           max_new_tokens=args.new_tokens))
+                # the just-admitted request still needs decode steps: without
+                # this, same-length batches complete in lockstep and the loop
+                # breaks on the stale ``alive`` right after the final
+                # admission, silently dropping those requests' tokens
+                alive = True
             if not alive and not rest:
                 break
         dt = time.perf_counter() - t0

@@ -28,6 +28,7 @@ def test_forward_shape_and_finite():
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
+@pytest.mark.slow
 def test_scan_matches_loop():
     cfg_scan = dataclasses.replace(CFG, scan_layers=True)
     key = jax.random.PRNGKey(0)
@@ -42,6 +43,7 @@ def test_scan_matches_loop():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_matches_plain():
     cfg_remat = dataclasses.replace(CFG, remat=True)
     p = _params()
@@ -69,6 +71,7 @@ def test_multiway_doubles_layer_params():
     assert mw_layer == 2 * sw_layer
 
 
+@pytest.mark.slow
 def test_multiway_default_routes_expert_a():
     """With no split position every token uses expert A — forcing expert B's
     params to garbage must not change the output."""
@@ -86,6 +89,7 @@ def test_multiway_default_routes_expert_a():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_kv_cache_decode_matches_full_forward():
     """Autoregressive decode through init_cache must reproduce the full
     (teacher-forced) forward logits step by step — including xPos."""
@@ -121,6 +125,7 @@ def test_embed_scale_applied_once():
                                np.asarray(raw * CFG.embed_scale + pos), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_padding_segment_ids_mask_attention():
     """Padded positions must not influence earlier (causal) real positions;
     real-token logits must match the unpadded run."""
@@ -148,7 +153,8 @@ def test_position_overflow_raises():
         dec.decoder_forward(p, toks_bad, CFG)
 
 
-@pytest.mark.parametrize("policy", ["nothing", "dots", "dots_no_batch"])
+@pytest.mark.parametrize("policy", [
+    pytest.param("nothing", marks=pytest.mark.slow), "dots", "dots_no_batch"])
 def test_remat_policies_grads_match(policy):
     """Every remat policy recomputes to bit-identical gradients."""
     base = dataclasses.replace(CFG, dropout=0.0, attention_dropout=0.0)

@@ -145,7 +145,9 @@ def test_fused_xpos_matches_external(devices):
                                        atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize(
+    "seed", [pytest.param(s, marks=pytest.mark.slow) if s in (1, 3, 5)
+             else s for s in range(6)])
 def test_fuzz_random_configs_vs_oracle(devices, seed):
     """Randomized shapes/blocks/segments/xpos vs the jnp oracle (fixed
     seeds — deterministic 'fuzz')."""

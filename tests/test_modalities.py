@@ -27,6 +27,7 @@ RES = ResamplerConfig(dim=32, depth=1, dim_head=8, heads=4, num_latents=4,
                       num_media_embeds=4)
 
 
+@pytest.mark.slow
 def test_audio_encoder_shapes():
     p = init_audio_encoder(jax.random.PRNGKey(0), AUD)
     wav = jax.random.normal(jax.random.PRNGKey(1), (2, 1024))
@@ -81,6 +82,7 @@ def test_modality_detector():
     assert det.detect(np.zeros((1, 3, 32, 32)), user_modality="any") == "any"
 
 
+@pytest.mark.slow
 def test_kosmos_any_lazy_encoders():
     m = KosmosAny(decoder=DEC, seed=0)
     m.configs["image"] = (VIS, RES)
@@ -135,6 +137,7 @@ class TestUnifiedEncoder:
                              max_tokens=128, image_patch=14, audio_patch=64,
                              video_tube_t=2, video_tube_hw=16)
 
+    @pytest.mark.slow
     def test_all_modalities_share_trunk(self, devices):
         import jax
         import jax.numpy as jnp

@@ -117,6 +117,7 @@ def test_splice_multi_matches_sequential_single():
                                    rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_kosmos_multi_image(kosmos):
     toks = jnp.ones((1, 16), jnp.int32)
     imgs = jnp.zeros((1, 2, 3, 28, 28), jnp.float32)

@@ -49,8 +49,8 @@ def _ref_loss_and_grads(params, tokens, labels, weights):
 
 @pytest.mark.parametrize("data,pipe,microbatches", [
     pytest.param(2, 4, 2, marks=pytest.mark.slow),  # dp x pp, bubble (M < S)
-    (1, 4, 8),   # deep microbatching (M > S)
-    pytest.param(4, 2, 2, marks=pytest.mark.slow),
+    pytest.param(1, 4, 8, marks=pytest.mark.slow),  # deep microbatching (M > S)
+    (4, 2, 2),
 ])
 def test_pipeline_step_matches_single_device(devices, data, pipe,
                                              microbatches):

@@ -330,6 +330,7 @@ def test_zigzag_forward_matches_reference(devices, s):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("s", [2])
 def test_zigzag_forward_with_segments(devices, s):
     ZL = s * ZL_S
@@ -347,6 +348,7 @@ def test_zigzag_forward_with_segments(devices, s):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("s", ZZ_SHARDS)
 def test_zigzag_backward_matches_reference(devices, s):
     ZL = s * ZL_S

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kosmosx_tpu.core.config import MagnetoConfig
 from kosmosx_tpu.nn import decoder as dec
@@ -41,6 +42,7 @@ def test_embedding_w8_per_row():
                                atol=3.0 * 3 / 127 + 1e-6)
 
 
+@pytest.mark.slow
 def test_decoder_w8_logits_track_fp32(devices):
     params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
     toks = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 4, CFG.vocab_size)
@@ -54,6 +56,7 @@ def test_decoder_w8_logits_track_fp32(devices):
     assert rel < 0.1, rel
 
 
+@pytest.mark.slow
 def test_w8_memory_halves(devices):
     params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
     from kosmosx_tpu.core.dtypes import cast_tree
@@ -62,6 +65,7 @@ def test_w8_memory_halves(devices):
     assert w8_param_bytes(q) < 0.75 * w8_param_bytes(bf16)
 
 
+@pytest.mark.slow
 def test_w8_scan_layers_stacked(devices):
     """Stacked (layers, in, out) weights quantize with per-layer scales and
     slice correctly through the layer scan."""
@@ -115,11 +119,11 @@ from kosmosx_tpu.utils.quantize import _quantize_w
 
 
 @pytest.mark.parametrize("m,k,n", [
-    (8, 128, 256),      # decode-like: tiny M
+    pytest.param(8, 128, 256, marks=pytest.mark.slow),  # decode-like tiny M
     (16, 256, 128),
     (5, 130, 70),       # ragged everything (padding path)
-    (256, 512, 512),    # one full block
-    (300, 640, 1100),   # multi-block ragged
+    pytest.param(256, 512, 512, marks=pytest.mark.slow),  # one full block
+    pytest.param(300, 640, 1100, marks=pytest.mark.slow),  # multi-block ragged
 ])
 def test_w8_matmul_kernel_matches_reference(m, k, n):
     key = jax.random.PRNGKey(42)
