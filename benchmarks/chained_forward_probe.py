@@ -12,6 +12,7 @@ Measures: sequential per-call best vs scan-chained per-step time on the
 flagship Kosmos (CLIP + resampler + 24L decoder), batch 6, seq 2048.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -27,9 +28,16 @@ from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
 from kosmosx_tpu.core.dtypes import init_casted
 from kosmosx_tpu.models.kosmos import Kosmos
 
-BATCH = 6
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=6)
+_ap.add_argument("--chain", type=int, default=6)
+_ap.add_argument("--chain-only", action="store_true",
+                 help="skip the sequential A side (batch sweeps)")
+_args = _ap.parse_args()
+
+BATCH = _args.batch
 TEXT_LEN = 1984
-CHAIN = 6
+CHAIN = _args.chain
 SEQ_CALLS = 4
 
 CFG = KosmosConfig(
@@ -51,22 +59,24 @@ def main():
     imgs = jax.random.normal(jax.random.fold_in(key, 999),
                              (BATCH, 3, 224, 224), jnp.float32)
 
-    # -- sequential (bench.py methodology) --------------------------------
-    seq_fn = jax.jit(lambda p, t, im: jnp.sum(
-        Kosmos.apply(p, t, im, CFG).astype(jnp.float32)))
-    toks = [jax.random.randint(jax.random.fold_in(key, i),
-                               (BATCH, TEXT_LEN), 4, vocab, jnp.int32)
-            for i in range(SEQ_CALLS + 1)]
-    for t in toks:
-        float(jnp.sum(t))
-    float(seq_fn(params, toks[-1], imgs))  # compile
-    seq_times = []
-    for i in range(SEQ_CALLS):
-        t0 = time.perf_counter()
-        float(seq_fn(params, toks[i], imgs))
-        seq_times.append(time.perf_counter() - t0)
-    print(f"sequential: best {min(seq_times) * 1e3:.1f} ms/call "
-          f"({[f'{t * 1e3:.0f}' for t in seq_times]})", flush=True)
+    seq_times = None
+    if not _args.chain_only:
+        # -- sequential (bench.py methodology) ----------------------------
+        seq_fn = jax.jit(lambda p, t, im: jnp.sum(
+            Kosmos.apply(p, t, im, CFG).astype(jnp.float32)))
+        toks = [jax.random.randint(jax.random.fold_in(key, i),
+                                   (BATCH, TEXT_LEN), 4, vocab, jnp.int32)
+                for i in range(SEQ_CALLS + 1)]
+        for t in toks:
+            float(jnp.sum(t))
+        float(seq_fn(params, toks[-1], imgs))  # compile
+        seq_times = []
+        for i in range(SEQ_CALLS):
+            t0 = time.perf_counter()
+            float(seq_fn(params, toks[i], imgs))
+            seq_times.append(time.perf_counter() - t0)
+        print(f"sequential: best {min(seq_times) * 1e3:.1f} ms/call "
+              f"({[f'{t * 1e3:.0f}' for t in seq_times]})", flush=True)
 
     # -- scan-chained ------------------------------------------------------
     def chain(p, stack, im, c0):
@@ -95,7 +105,9 @@ def main():
     print(f"scan-chain({CHAIN}): best {min(chain_times) * 1e3:.1f} ms/step "
           f"({[f'{t * 1e3:.0f}' for t in chain_times]})", flush=True)
     tok = BATCH * (TEXT_LEN + 64)
-    print(f"tokens/sec: sequential {tok / min(seq_times):,.0f}  "
+    seq_part = (f"sequential {tok / min(seq_times):,.0f}  "
+                if seq_times else "")
+    print(f"batch {BATCH} tokens/sec: {seq_part}"
           f"chained {tok / min(chain_times):,.0f}", flush=True)
 
 
