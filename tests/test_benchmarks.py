@@ -20,6 +20,7 @@ TINY = MagnetoConfig(vocab_size=128, embed_dim=64, ffn_dim=128, layers=2,
                      dropout=0.0, attention_dropout=0.0)
 
 
+@pytest.mark.slow
 def test_speed_metrics_forward(devices):
     lat = SpeedMetrics(TINY, batch=1, seq_len=32).forward_latency()
     assert lat > 0

@@ -154,7 +154,8 @@ def test_position_overflow_raises():
 
 
 @pytest.mark.parametrize("policy", [
-    pytest.param("nothing", marks=pytest.mark.slow), "dots", "dots_no_batch"])
+    pytest.param("nothing", marks=pytest.mark.slow),
+    pytest.param("dots", marks=pytest.mark.slow), "dots_no_batch"])
 def test_remat_policies_grads_match(policy):
     """Every remat policy recomputes to bit-identical gradients."""
     base = dataclasses.replace(CFG, dropout=0.0, attention_dropout=0.0)
@@ -172,6 +173,7 @@ def test_remat_policies_grads_match(policy):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_tracks_fp_cache():
     """Decode with an int8 KV cache (cfg.kv_cache_dtype) must track the
     full-precision cache logits closely, and greedy decode from a real

@@ -158,6 +158,7 @@ class TestUnifiedEncoder:
         import numpy as np
         assert not np.allclose(np.asarray(outs["audio"]), np.asarray(outs["any"]))
 
+    @pytest.mark.slow
     def test_kosmos_any_unified_mode(self, devices):
         import jax.numpy as jnp
         from kosmosx_tpu.core.config import MagnetoConfig

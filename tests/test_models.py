@@ -77,6 +77,7 @@ def test_kosmos_gradients_finite(kosmos):
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+@pytest.mark.slow
 def test_double_scale_parity_flag(kosmos):
     """parity_double_scale=True reproduces the reference's double embed_scale
     (SURVEY.md §2.6.1); False applies it once. They must differ by design."""
@@ -98,6 +99,7 @@ def test_splice_single_layout():
     np.testing.assert_array_equal(np.asarray(out[0, 5:]), np.asarray(text[0, 2:]))
 
 
+@pytest.mark.slow
 def test_splice_multi_matches_sequential_single():
     """General gather-splice == repeated concatenation splice."""
     key = jax.random.PRNGKey(0)

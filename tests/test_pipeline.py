@@ -50,7 +50,7 @@ def _ref_loss_and_grads(params, tokens, labels, weights):
 @pytest.mark.parametrize("data,pipe,microbatches", [
     pytest.param(2, 4, 2, marks=pytest.mark.slow),  # dp x pp, bubble (M < S)
     pytest.param(1, 4, 8, marks=pytest.mark.slow),  # deep microbatching (M > S)
-    (4, 2, 2),
+    pytest.param(4, 2, 2, marks=pytest.mark.slow),  # 1F1B keeps fast coverage
 ])
 def test_pipeline_step_matches_single_device(devices, data, pipe,
                                              microbatches):
@@ -135,8 +135,8 @@ from kosmosx_tpu.parallel.pipeline import make_pipeline_train_step_1f1b
 
 
 @pytest.mark.parametrize("data,pipe,microbatches", [
-    (2, 4, 2),    # M < S
-    (1, 4, 8),    # M > S: the stash (2S-1=7 slots) < M exercises reuse
+    pytest.param(2, 4, 2, marks=pytest.mark.slow),    # M < S
+    pytest.param(1, 4, 8, marks=pytest.mark.slow),    # M > S: stash reuse
     (4, 2, 2),
 ])
 def test_1f1b_matches_single_device(devices, data, pipe, microbatches):

@@ -97,6 +97,7 @@ def test_kosmos_full_roundtrip():
     _trees_close(params, back)
 
 
+@pytest.mark.slow
 def test_kosmos_roundtrip_forward_parity():
     params = Kosmos.init(jax.random.PRNGKey(3), KCFG)
     back = kosmos_params_from_state_dict(

@@ -317,6 +317,7 @@ def _zz_run(q, k, v, seg=None, *, s, backward_g=None):
                     argnums=(0, 1, 2))(q, k, v)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("s", ZZ_SHARDS)
 def test_zigzag_forward_matches_reference(devices, s):
     ZL = s * ZL_S
@@ -466,6 +467,7 @@ def test_sp_train_step_zigzag_matches_single_device(devices):
                                    rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_sp_train_step_attention_dropout_runs(devices):
     """Attention dropout under SP routes through the all-gather fallback and
     produces finite loss/grads (exact parity is rng-dependent by design)."""

@@ -79,6 +79,7 @@ def test_w8_scan_layers_stacked(devices):
     assert agree > 0.9, agree
 
 
+@pytest.mark.slow
 def test_w8_generation_runs(devices):
     from kosmosx_tpu.generate import SamplingConfig, generate_text
 
@@ -111,8 +112,6 @@ def test_w8_checkpoint_roundtrip(devices, tmp_path):
 # this kernel (set_w8_kernel "auto"); CPU tests exercise the same kernel in
 # the Pallas interpreter.
 # ---------------------------------------------------------------------------
-
-import pytest
 
 from kosmosx_tpu.ops.quant_matmul import w8_matmul, w8_matmul_reference
 from kosmosx_tpu.utils.quantize import _quantize_w
@@ -192,6 +191,7 @@ def test_w8_matmul_stacked_kernel_matches_slice():
                                    rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_w8_scan_decoder_uses_stacked_marker(monkeypatch):
     """With scan_layers + W8 params, decoder grafts {"q","scale","layer"}
     markers (stacked weights out of the scan xs) and logits still match the
