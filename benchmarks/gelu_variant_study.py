@@ -90,21 +90,90 @@ def ffn_f32mm(params, x, *, activation="gelu", dropout_rate=0.0,
     return layers.linear(params["fc2"], h, dtype=dtype)
 
 
+def ffn_poly(params, x, *, activation="gelu", dropout_rate=0.0,
+             activation_dropout=0.0, rng=None, dtype=None,
+             activation_fp32=True):
+    """SPEED probe only (placeholder coefficients): gelu via a clamped
+    odd polynomial in fp32 — costs the poly FMAs + 1 clamp + 1 select,
+    no erf/tanh/exp. Measures the ceiling for a minimax-fitted gelu."""
+    h = layers.linear(params["fc1"], x, dtype=dtype)
+    t = h.astype(jnp.float32)
+    tc = jnp.clip(t, -5.0, 5.0)
+    t2 = tc * tc
+    # degree-9 odd Horner in t (placeholder coeffs, NOT accurate)
+    p = 0.5 + tc * (0.3989 + t2 * (-0.066 + t2 * (0.0087 + t2 * (-6.3e-4
+        + t2 * 1.8e-5))))
+    g = t * jnp.clip(p, 0.0, 1.0)
+    h = g.astype(h.dtype)
+    if "ffn_ln" in params:
+        h = layers.layer_norm(params["ffn_ln"], h)
+    return layers.linear(params["fc2"], h, dtype=dtype)
+
+
+_T6 = (0.7978828682178812, 0.036343200198652635, -4.3983891272934235e-05,
+       -5.0548261841443504e-05, 3.1086679874847133e-06,
+       -6.628358746501451e-08)
+
+
+def _make_ffn_tanh6(guard: bool):
+    def ffn_t6(params, x, *, activation="gelu", dropout_rate=0.0,
+               activation_dropout=0.0, rng=None, dtype=None,
+               activation_fp32=True):
+        h = layers.linear(params["fc1"], x, dtype=dtype)
+        xf = h.astype(jnp.float32)
+        u = xf * xf
+        p = _T6[-1]
+        for c in _T6[-2::-1]:
+            p = p * u + c
+        if guard:
+            p = jnp.maximum(p, _T6[0])
+        y = xf * p
+        half = 0.5 * xf
+        g = (half * jnp.tanh(y) + half).astype(h.dtype)
+        if "ffn_ln" in params:
+            g = layers.layer_norm(params["ffn_ln"], g)
+        return layers.linear(params["fc2"], g, dtype=dtype)
+    return ffn_t6
+
+
 def main():
+    only = set((os.environ.get("GELU_VARIANTS") or
+                "parity,bf16,tanh,f32mm,poly").split(","))
     print("devices:", jax.devices(), flush=True)
-    t_parity = measure("parity fp32 erf-gelu", make_cfg())
-    t_bf16 = measure("act_bf16 (activation_fp32=False)",
-                     make_cfg(activation_fp32=False))
-    t_tanh = measure("tanh_fp32 (gelu_tanh, fp32 path)",
-                     make_cfg(activation="gelu_tanh"))
+    t = {}
+    if "parity" in only:
+        t["parity"] = measure("parity fp32 erf-gelu", make_cfg())
+    if "bf16" in only:
+        t["bf16"] = measure("act_bf16 (activation_fp32=False)",
+                            make_cfg(activation_fp32=False))
+    if "tanh" in only:
+        t["tanh"] = measure("tanh_fp32 (gelu_tanh, fp32 path)",
+                            make_cfg(activation="gelu_tanh"))
     real_ffn = dec.ffn
-    dec.ffn = ffn_f32mm
-    t_f32mm = measure("f32mm_gelu (preferred_element_type=f32 fc1)",
-                      make_cfg())
+    if "f32mm" in only:
+        dec.ffn = ffn_f32mm
+        t["f32mm"] = measure("f32mm_gelu (preferred_element_type=f32 fc1)",
+                             make_cfg())
+    if "poly" in only:
+        dec.ffn = ffn_poly
+        t["poly"] = measure("poly_gelu (deg-9 clamped poly, SPEED probe)",
+                            make_cfg())
+    if "tanh6raw" in only:
+        dec.ffn = _make_ffn_tanh6(guard=False)
+        t["tanh6raw"] = measure("tanh6_raw (6-term poly + tanh, NO guard; "
+                                "wrong tails — cost probe)", make_cfg())
+    if "tanh6guard" in only:
+        dec.ffn = _make_ffn_tanh6(guard=True)
+        t["tanh6guard"] = measure("tanh6_guard (+ max(p, c0))", make_cfg())
     dec.ffn = real_ffn
-    print(f"deltas vs parity: act_bf16 {(t_parity - t_bf16) * 1e3:+.1f} ms, "
-          f"tanh_fp32 {(t_parity - t_tanh) * 1e3:+.1f} ms, "
-          f"f32mm_gelu {(t_parity - t_f32mm) * 1e3:+.1f} ms", flush=True)
+    if "fast" in only:
+        t["fast"] = measure("gelu_fast (ops/fast_gelu current impl)",
+                            make_cfg(activation="gelu_fast"))
+    base = t.get("parity")
+    if base:
+        print("deltas vs parity: " + ", ".join(
+            f"{k} {(base - v) * 1e3:+.1f} ms" for k, v in t.items()
+            if k != "parity"), flush=True)
 
 
 if __name__ == "__main__":

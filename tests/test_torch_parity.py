@@ -71,3 +71,18 @@ def test_flash_path_matches_oracle(devices):
                                               interpret=True))
     ref = decoder_forward_oracle(_params_np(params), np.asarray(toks), cfg)
     np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_fast_gelu_holds_oracle_parity(devices):
+    """activation="gelu_fast" (the purpose-fit polynomial erf-gelu,
+    ops/fast_gelu.py) stays within the SAME 1e-4 fp32 parity bar against
+    the torch oracle's libm erf-gelu — it is the same model, evaluated
+    with a different (cheaper) erf implementation."""
+    cfg = dataclasses.replace(CFG, activation="gelu_fast")
+    with jax.default_matmul_precision("highest"):
+        params = dec.init_decoder(jax.random.PRNGKey(7), cfg)
+        toks = jax.random.randint(jax.random.PRNGKey(3), (2, 17), 4,
+                                  cfg.vocab_size, jnp.int32)
+        ours = np.asarray(dec.decoder_forward(params, toks, cfg))
+    ref = decoder_forward_oracle(_params_np(params), np.asarray(toks), CFG)
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
