@@ -47,6 +47,10 @@ def main(argv=None):
     ap.add_argument("--kv8", action="store_true",
                     help="serve both engines with an int8 KV cache "
                          "(kv_cache_dtype='int8')")
+    ap.add_argument("--w8", action="store_true",
+                    help="serve with weight-only int8 target+draft params "
+                         "(decode and the multi-token verify are weight-"
+                         "read-bound, so W8 should speed both)")
     args = ap.parse_args(argv)
 
     import jax
@@ -180,6 +184,10 @@ def main(argv=None):
         cfg, kv_cache_dtype="int8" if args.kv8 else None)
     sdcfg = dataclasses.replace(
         dcfg, kv_cache_dtype="int8" if args.kv8 else None)
+    if args.w8:
+        from kosmosx_tpu.utils.quantize import quantize_params_w8
+        params = jax.jit(quantize_params_w8)(params)
+        draft = jax.jit(quantize_params_w8)(draft)
 
     def run_engine(spec: bool):
         window = ((args.sync_lag + 1) * (args.gamma + 1)
@@ -237,7 +245,8 @@ def main(argv=None):
         "metric": f"DISTILLED speculative serving tokens/sec "
                   f"({args.layers}L target + {args.draft_layers}L distilled "
                   f"draft, gamma={args.gamma}, {args.slots} slots, bf16"
-                  f"{', kv8' if args.kv8 else ''})",
+                  f"{', kv8' if args.kv8 else ''}"
+                  f"{', w8' if args.w8 else ''})",
         "value": round(tps_spec, 1),
         "unit": "tokens/sec/chip",
         "vs_plain_engine": round(tps_spec / tps_plain, 3),
