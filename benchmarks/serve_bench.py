@@ -41,6 +41,9 @@ def main(argv=None):
                     help="speculative serving: draft proposes K tokens per "
                          "engine step (needs --draft-layers)")
     ap.add_argument("--draft-layers", type=int, default=4)
+    ap.add_argument("--decode-block", type=int, default=0,
+                    help="K decode steps per device dispatch (on-device "
+                         "scan; amortizes dispatch overhead)")
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="stream prompts in K-token chunks interleaved "
                          "with decode (bounds admission stall)")
@@ -88,8 +91,10 @@ def main(argv=None):
         draft_cfg = dataclasses.replace(cfg, layers=args.draft_layers)
         draft_params = init_casted(lambda k: dec.init_decoder(k, draft_cfg),
                                    jax.random.PRNGKey(7), cfg.dtype)
-    window = ((args.sync_lag + 1) * (args.spec_gamma + 1)
-              if args.spec_gamma else args.sync_lag)
+    if args.spec_gamma:
+        window = (args.sync_lag + 1) * (args.spec_gamma + 1)
+    else:
+        window = (args.sync_lag + 1) * max(args.decode_block, 1) - 1
     extra = kcfg.image_embed_len if kcfg is not None else 0
     max_len = args.prompt_len + extra + args.new_tokens + window
     eng = ServeEngine(params, cfg,
@@ -98,6 +103,7 @@ def main(argv=None):
                                   max_len=max_len,
                                   sync_lag=args.sync_lag,
                                   spec_gamma=args.spec_gamma,
+                                  decode_block=args.decode_block,
                                   prefill_chunk=args.prefill_chunk),
                       SamplingConfig(greedy=True),
                       kosmos_cfg=kcfg,
@@ -178,7 +184,8 @@ def main(argv=None):
                   f"{', kv8' if args.kv8 else ''}"
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
-                  f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''})",
+                  f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''}"
+                  f"{f', decode_block={args.decode_block}' if args.decode_block else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),

@@ -69,6 +69,17 @@ class ServeConfig:
     # correctness is unchanged — only the acceptance rate depends on how
     # image-dependent the continuation is.
     spec_gamma: int = 0
+    # Decode blocking: when > 1, every engine step runs decode_block decode
+    # steps in ONE device dispatch (lax.scan inside the jit, token feedback
+    # on device) and reads back (B, decode_block) tokens. Amortizes the
+    # per-dispatch overhead (~3 ms on the remote link vs a ~7-10 ms
+    # flagship step) the same way sync_lag amortizes the READ latency; the
+    # two compose. EOS/budget detection lags up to
+    # (sync_lag+1)*decode_block tokens (overrun is discarded, the slot
+    # frees late), and admission waits for a step boundary. Greedy outputs
+    # are identical to the per-token engine. Not combinable with
+    # spec_gamma (speculation already commits multiple tokens/dispatch).
+    decode_block: int = 0
     # Chunked prefill: when > 0, request admission does NO full-prompt
     # prefill up front; the engine ingests the prompt prefill_chunk tokens
     # per step through a pooled multi-token cached forward, interleaved
@@ -206,13 +217,10 @@ def _insert_slot_jit(caches, caches_one, slot):
     return jax.tree_util.tree_map(ins, caches, caches_one)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "pad_id",
-                                             "double_scale", "interpret"),
-                   donate_argnums=(2,))  # in-place cache scatter, no pool copy
-def _decode_step_jit(params, last_tokens, caches, index, active, rng,
-                     cfg: MagnetoConfig, scfg: SamplingConfig,
-                     pad_id: int = 1, double_scale: bool = False,
-                     interpret: bool = False):
+def _decode_core(params, last_tokens, caches, index, active, rng,
+                 cfg: MagnetoConfig, scfg: SamplingConfig,
+                 pad_id: int = 1, double_scale: bool = False,
+                 interpret: bool = False):
     """One decode step for every slot. Inactive slots still compute (static
     shapes) but their index does not advance and their token is ignored."""
     # inactive slots feed pad (their ``last`` may hold a stale sampled token
@@ -231,6 +239,43 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
     nxt = sample_logits(logits, rng, scfg)
     index = index + active.astype(index.dtype)
     return nxt, caches, index
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "pad_id",
+                                             "double_scale", "interpret"),
+                   donate_argnums=(2,))  # in-place cache scatter, no pool copy
+def _decode_step_jit(params, last_tokens, caches, index, active, rng,
+                     cfg: MagnetoConfig, scfg: SamplingConfig,
+                     pad_id: int = 1, double_scale: bool = False,
+                     interpret: bool = False):
+    return _decode_core(params, last_tokens, caches, index, active, rng,
+                        cfg, scfg, pad_id=pad_id, double_scale=double_scale,
+                        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "block",
+                                             "pad_id", "double_scale",
+                                             "interpret"),
+                   donate_argnums=(2,))
+def _decode_block_jit(params, last_tokens, caches, index, active, rng,
+                      cfg: MagnetoConfig, scfg: SamplingConfig, block: int,
+                      pad_id: int = 1, double_scale: bool = False,
+                      interpret: bool = False):
+    """``block`` decode steps for every slot in ONE dispatch (lax.scan over
+    the single-step core, token feedback on device). Amortizes the per-step
+    dispatch/link overhead — on the remote chip one dispatch costs ~3 ms on
+    top of a ~7-10 ms flagship decode step. Returns (B, block) tokens."""
+    def body(carry, k):
+        last, caches, index = carry
+        nxt, caches, index = _decode_core(
+            params, last, caches, index, active, jax.random.fold_in(rng, k),
+            cfg, scfg, pad_id=pad_id, double_scale=double_scale,
+            interpret=interpret)
+        return (nxt, caches, index), nxt
+
+    (last, caches, index), toks = jax.lax.scan(
+        body, (last_tokens, caches, index), jnp.arange(block))
+    return toks.T, last, caches, index
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dcfg", "scfg",
@@ -335,6 +380,8 @@ class ServeEngine:
         self.slots: List[Optional[Request]] = [None] * b
         self.pending: deque[Request] = deque()
         self._inflight: deque = deque()  # (nxt tokens on device, slot snapshot)
+        self._dispatched = [0] * b       # decode tokens dispatched per slot
+        self._active_key = None          # active_list at last mask rebuild
         self._active_dev = None          # device copy of the slot-occupancy
         self._next_id = 0                # mask (rebuilt only when it changes)
         self.steps = 0
@@ -360,6 +407,12 @@ class ServeEngine:
             self.index_d = jnp.zeros((b,), jnp.int32)
         self.accepted_total = 0   # speculative observability
         self.emitted_total = 0
+        # blocked decode (ServeConfig.decode_block)
+        self.block = max(int(self.scfg.decode_block), 0)
+        if self.block > 1 and self.spec:
+            raise NotImplementedError(
+                "decode_block > 1 + spec_gamma is not implemented "
+                "(speculation already commits multiple tokens/dispatch)")
         # chunked prefill (ServeConfig.prefill_chunk)
         self.chunked = self.scfg.prefill_chunk > 0
         if self.chunked:
@@ -397,11 +450,14 @@ class ServeEngine:
                                  "multimodal requests need one")
             n_img = images.shape[0] if images.ndim == 4 else 1
             extra = n_img * self.kcfg.image_embed_len
-        # headroom: EOS/budget detection lags sync_lag steps, and each
+        # headroom: EOS/budget detection lags sync_lag steps, each
         # speculative round writes gamma cache positions past its committed
-        # index, so a slot can touch cache slots past its budget
-        window = ((self.scfg.sync_lag + 1) * (self.scfg.spec_gamma + 1)
-                  if self.spec else self.scfg.sync_lag)
+        # index, and each blocked-decode dispatch writes decode_block
+        # positions, so a slot can touch cache slots past its budget
+        if self.spec:
+            window = (self.scfg.sync_lag + 1) * (self.scfg.spec_gamma + 1)
+        else:
+            window = (self.scfg.sync_lag + 1) * max(self.block, 1) - 1
         if (len(prompt) + extra + max_new_tokens + window
                 > self.scfg.max_len):
             raise ValueError(
@@ -423,6 +479,7 @@ class ServeEngine:
     def _admit(self, slot: int, req: Request):
         import numpy as np
 
+        self._dispatched[slot] = 0
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
         s_idx = self.kcfg.splice_index if self.kcfg is not None else 0
@@ -571,11 +628,25 @@ class ServeEngine:
                 self._admit(slot, self.pending.popleft())
         if self.chunked and any(p >= 0 for p in self._pf_pos):
             self._advance_prefill()
-        active_list = [s is not None and not self._is_prefilling(i)
-                       for i, s in enumerate(self.slots)]
+        # budget clamp: the host KNOWS each request's max_new_tokens at
+        # submit time, so a slot whose dispatched-token count has reached
+        # its budget is excluded from `active` immediately — without this,
+        # sync_lag/decode_block overrun decodes up to (sync_lag+1)*block
+        # discarded tokens per request before the drain detects the budget
+        # (measured 31% throughput loss at lag 4 x block 4 with 64-token
+        # budgets). Only EOS — which the host can't predict — still pays
+        # the detection lag. (Speculation commits a variable 1..gamma+1
+        # tokens per round, so its dispatch count isn't host-predictable
+        # and it keeps the drain-time check.)
+        active_list = [
+            s is not None and not self._is_prefilling(i)
+            and (self.spec or self._dispatched[i] < s.max_new_tokens)
+            for i, s in enumerate(self.slots)]
         if any(active_list):
-            if self._active_dev is None:  # occupancy changed since last step
+            key = tuple(active_list)
+            if self._active_dev is None or key != self._active_key:
                 self._active_dev = jnp.asarray(active_list, bool)
+                self._active_key = key
             active = self._active_dev
             if self.spec:
                 emit, n_emit, carry, self.caches, self.draft_caches, \
@@ -588,6 +659,14 @@ class ServeEngine:
                         pad_id=self.scfg.pad_id,
                         double_scale=self.double_scale)
                 self.last = carry
+            elif self.block > 1:
+                emit, self.last, self.caches, self.index = _decode_block_jit(
+                    self.dec_params, self.last, self.caches, self.index,
+                    active, self._fold(), self.cfg, self.sampling,
+                    self.block, pad_id=self.scfg.pad_id,
+                    double_scale=self.double_scale,
+                    interpret=self.interpret)
+                n_emit = [self.block if a else 0 for a in active_list]
             else:
                 nxt, self.caches, self.index = _decode_step_jit(
                     self.dec_params, self.last, self.caches, self.index,
@@ -605,6 +684,9 @@ class ServeEngine:
                 emit = nxt[:, None]
                 n_emit = [1 if a else 0 for a in active_list]
             self.steps += 1
+            if not self.spec:
+                for i, n in enumerate(n_emit):
+                    self._dispatched[i] += n
             try:  # start the device->host copy now; read it sync_lag later
                 emit.copy_to_host_async()
                 if hasattr(n_emit, "copy_to_host_async"):
@@ -612,10 +694,11 @@ class ServeEngine:
             except AttributeError:  # backend without async copies
                 pass
             self._inflight.append((emit, n_emit, list(self.slots)))
-        # with active slots, keep up to sync_lag reads outstanding; once the
-        # pool idles, drain everything
+        # with DISPATCHING slots, keep up to sync_lag reads outstanding;
+        # once nothing dispatched this step (pool idle, or every occupied
+        # slot budget-clamped awaiting its drain), drain everything
         while len(self._inflight) > (self.scfg.sync_lag
-                                     if self.num_active > 0 else 0):
+                                     if any(active_list) else 0):
             self._drain_one()
         return (self.num_active > 0 or bool(self.pending)
                 or bool(self._inflight))

@@ -133,6 +133,37 @@ def test_engine_multimodal_admission(devices):
     assert h_mm.tokens == [int(t) for t in np.asarray(ref[0])]
 
 
+@pytest.mark.parametrize("block,lag", [(2, 0), (4, 0), (3, 2)])
+def test_engine_decode_block_matches_per_token(params, block, lag):
+    """decode_block runs K decode steps per dispatch (on-device lax.scan
+    feedback); greedy outputs must be identical to the per-token engine,
+    including EOS/budget overrun discard and staggered admission."""
+    prompts = _prompts(5, key=33)
+    new = 6
+    mk = lambda b, sl: ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
+                    sync_lag=sl, decode_block=b),
+        SamplingConfig(greedy=True))
+    ref_eng, blk_eng = mk(0, 0), mk(block, lag)
+    ref_h = [ref_eng.submit(p, max_new_tokens=new) for p in prompts]
+    blk_h = [blk_eng.submit(p, max_new_tokens=new) for p in prompts]
+    ref_eng.run()
+    blk_eng.run()
+    for hr, hb in zip(ref_h, blk_h):
+        assert hb.done
+        assert hr.tokens == hb.tokens
+
+
+def test_engine_decode_block_rejects_spec(params):
+    with pytest.raises(NotImplementedError):
+        ServeEngine(params, CFG,
+                    ServeConfig(max_batch=1, max_prompt_len=16, max_len=64,
+                                decode_block=2, spec_gamma=2),
+                    SamplingConfig(greedy=True),
+                    draft_params=params, draft_cfg=CFG)
+
+
 @pytest.mark.parametrize("lag", [1, 3])
 def test_engine_sync_lag_matches_sync(params, lag):
     """Lagged host sync must produce identical greedy outputs (the device
@@ -349,11 +380,12 @@ def test_engine_fuzz_random_schedules_match_plain(params, seed):
         prompt = [r.randint(4, CFG.vocab_size - 1) for _ in range(lp)]
         reqs.append((prompt, r.randint(1, 9), r.randint(0, 4)))
 
-    def run(lag, chunk):
+    def run(lag, chunk, block=0):
         eng = ServeEngine(
             params, CFG,
             ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
-                        sync_lag=lag, prefill_chunk=chunk),
+                        sync_lag=lag, prefill_chunk=chunk,
+                        decode_block=block),
             SamplingConfig(greedy=True))
         handles = []
         i = 0
@@ -370,9 +402,10 @@ def test_engine_fuzz_random_schedules_match_plain(params, seed):
         return [h.tokens for h in handles]
 
     ref = run(0, 0)
-    for lag, chunk in [(0, 3), (2, 0), (3, 5), (1, 16)]:
-        got = run(lag, chunk)
-        assert got == ref, (lag, chunk)
+    for lag, chunk, block in [(0, 3, 0), (2, 0, 0), (3, 5, 0), (1, 16, 0),
+                              (0, 0, 2), (2, 0, 3), (1, 4, 2)]:
+        got = run(lag, chunk, block)
+        assert got == ref, (lag, chunk, block)
 
 
 def _tiny_kcfg():
