@@ -22,9 +22,11 @@ fetch is required to stream tokens out anyway), but the decode feedback loop
 never leaves the device, so ``ServeConfig.sync_lag`` lets the host's token
 reads pipeline K steps behind the device — hiding the device->host link
 latency behind compute at the cost of K-step-late EOS reaction (trailing
-speculative tokens are discarded). Measured on the flagship: 186 tok/s
-synchronous -> 589 tok/s at sync_lag=4 (65% of the no-streaming decode
-ceiling).
+speculative tokens are discarded), and ``ServeConfig.decode_block`` runs K
+decode steps per dispatch to amortize the dispatch overhead itself.
+Measured on the flagship (BASELINE.md): 186 tok/s synchronous -> 589 at
+sync_lag=4 -> 680 at sync_lag=4 + decode_block=4 -> 819 with W8 weights +
+int8 KV cache on top (90% of the no-streaming decode ceiling).
 """
 
 from __future__ import annotations
@@ -543,6 +545,7 @@ class ServeEngine:
         self.last = self.last.at[slot].set(tok)
         self.slots[slot] = req
         req.tokens.append(tok)
+        self._dispatched[slot] = 1  # the prefill token counts toward budget
         self.emitted_total += 1
         self._maybe_finish(slot, tok)
 
@@ -613,6 +616,7 @@ class ServeEngine:
                 self._active_dev = None
                 if req is not None:
                     req.tokens.append(tok)
+                    self._dispatched[slot] = 1  # prefill token counts
                     self.emitted_total += 1
                     self._finish_if_needed(slot, req, tok)
         for slot in range(b):
