@@ -91,12 +91,12 @@ def main(argv=None):
         draft_cfg = dataclasses.replace(cfg, layers=args.draft_layers)
         draft_params = init_casted(lambda k: dec.init_decoder(k, draft_cfg),
                                    jax.random.PRNGKey(7), cfg.dtype)
-    if args.spec_gamma:
-        window = (args.sync_lag + 1) * (args.spec_gamma + 1)
-    else:
-        window = (args.sync_lag + 1) * max(args.decode_block, 1) - 1
     extra = kcfg.image_embed_len if kcfg is not None else 0
-    max_len = args.prompt_len + extra + args.new_tokens + window
+    window_cfg = ServeConfig(sync_lag=args.sync_lag,
+                             spec_gamma=args.spec_gamma,
+                             decode_block=args.decode_block)
+    max_len = (args.prompt_len + extra + args.new_tokens
+               + window_cfg.overrun_window)
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=args.slots,
                                   max_prompt_len=args.prompt_len,

@@ -190,8 +190,9 @@ def main(argv=None):
         draft = jax.jit(quantize_params_w8)(draft)
 
     def run_engine(spec: bool):
-        window = ((args.sync_lag + 1) * (args.gamma + 1)
-                  if spec else args.sync_lag)
+        window = ServeConfig(sync_lag=args.sync_lag,
+                             spec_gamma=args.gamma if spec else 0
+                             ).overrun_window
         eng = ServeEngine(
             params, scfg,
             ServeConfig(max_batch=args.slots,

@@ -76,11 +76,14 @@ class ServeConfig:
     # on device) and reads back (B, decode_block) tokens. Amortizes the
     # per-dispatch overhead (~3 ms on the remote link vs a ~7-10 ms
     # flagship step) the same way sync_lag amortizes the READ latency; the
-    # two compose. EOS/budget detection lags up to
-    # (sync_lag+1)*decode_block tokens (overrun is discarded, the slot
-    # frees late), and admission waits for a step boundary. Greedy outputs
-    # are identical to the per-token engine. Not combinable with
-    # spec_gamma (speculation already commits multiple tokens/dispatch).
+    # two compose. Budget exhaustion reacts immediately (the host clamps
+    # dispatch when a slot's known budget is reached; overrun is at most
+    # block-1 tokens from the final partial block), but EOS — which the
+    # host cannot predict — is detected up to (sync_lag+1)*decode_block
+    # tokens late (overrun discarded, the slot frees late). Admission
+    # waits for a step boundary. Greedy outputs are identical to the
+    # per-token engine. Not combinable with spec_gamma (speculation
+    # already commits multiple tokens/dispatch).
     decode_block: int = 0
     # Chunked prefill: when > 0, request admission does NO full-prompt
     # prefill up front; the engine ingests the prompt prefill_chunk tokens
@@ -91,6 +94,16 @@ class ServeConfig:
     # Bounds the admission stall to one chunk per step instead of one full
     # prompt.
     prefill_chunk: int = 0
+
+    @property
+    def overrun_window(self) -> int:
+        """Cache positions a slot can touch past its budget (worst-case
+        EOS/speculative overrun). size max_len >= prompt + image embeds +
+        max_new_tokens + this. Single source of truth for the engine's
+        submit() guard and the benchmarks' max_len sizing."""
+        if self.spec_gamma > 0:
+            return (self.sync_lag + 1) * (self.spec_gamma + 1)
+        return (self.sync_lag + 1) * max(self.decode_block, 1) - 1
 
 
 @dataclasses.dataclass
@@ -452,14 +465,10 @@ class ServeEngine:
                                  "multimodal requests need one")
             n_img = images.shape[0] if images.ndim == 4 else 1
             extra = n_img * self.kcfg.image_embed_len
-        # headroom: EOS/budget detection lags sync_lag steps, each
-        # speculative round writes gamma cache positions past its committed
-        # index, and each blocked-decode dispatch writes decode_block
-        # positions, so a slot can touch cache slots past its budget
-        if self.spec:
-            window = (self.scfg.sync_lag + 1) * (self.scfg.spec_gamma + 1)
-        else:
-            window = (self.scfg.sync_lag + 1) * max(self.block, 1) - 1
+        # headroom: EOS detection lags, speculative rounds write gamma
+        # positions past the committed index, and blocked decode writes
+        # whole blocks — ServeConfig.overrun_window bounds all of it
+        window = self.scfg.overrun_window
         if (len(prompt) + extra + max_new_tokens + window
                 > self.scfg.max_len):
             raise ValueError(
@@ -508,7 +517,6 @@ class ServeEngine:
                 self._pf_pos[slot] = 0
                 self.index = self.index.at[slot].set(0)
             self.slots[slot] = req
-            self._active_dev = None
             return
         prompt = jnp.asarray(
             np.pad(praw, (0, p - len(praw)),
@@ -540,7 +548,6 @@ class ServeEngine:
                                                  slot)
             self.index_d = self.index_d.at[slot].set(len(praw))
         self.index = self.index.at[slot].set(idx[0])
-        self._active_dev = None
         tok = int(first[0])
         self.last = self.last.at[slot].set(tok)
         self.slots[slot] = req
@@ -563,7 +570,6 @@ class ServeEngine:
             # re-admitted (possible when bookkeeping lags dispatch).
             if self.slots[slot] is req:
                 self.slots[slot] = None
-                self._active_dev = None
 
     @property
     def num_active(self) -> int:
@@ -613,7 +619,6 @@ class ServeEngine:
                 tok = int(toks[slot])
                 self.last = self.last.at[slot].set(tok)
                 self._pf_pos[slot] = -1
-                self._active_dev = None
                 if req is not None:
                     req.tokens.append(tok)
                     self._dispatched[slot] = 1  # prefill token counts

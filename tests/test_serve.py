@@ -155,6 +155,34 @@ def test_engine_decode_block_matches_per_token(params, block, lag):
         assert hr.tokens == hb.tokens
 
 
+def test_engine_decode_block_eos_discards_overrun(params):
+    """EOS landing mid-block: the rest of that block's tokens plus any
+    lagged inflight blocks must be discarded, the slot freed, and the
+    output identical to the synchronous per-token engine."""
+    new = 12
+    eng0 = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=2, max_prompt_len=16, max_len=64, sync_lag=0),
+        SamplingConfig(greedy=True))
+    h0 = eng0.submit(_prompts(1, key=37)[0], max_new_tokens=new)
+    eng0.run()
+    # pick the 4th greedy token as EOS so it lands mid-block (block=3:
+    # token 4 = prefill token + decode position 3 = index 0 of block 2)
+    eos = h0.tokens[3]
+
+    eng = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=2, max_prompt_len=16, max_len=64, sync_lag=2,
+                    decode_block=3),
+        SamplingConfig(greedy=True))
+    h = eng.submit(_prompts(1, key=37)[0], max_new_tokens=new, eos_id=eos)
+    eng.run()
+    assert h.done
+    assert h.tokens == h0.tokens[:4]  # stops AT the eos token
+    assert len(eng._inflight) == 0
+    assert eng.slots == [None, None]  # slot freed despite the overrun
+
+
 def test_engine_decode_block_rejects_spec(params):
     with pytest.raises(NotImplementedError):
         ServeEngine(params, CFG,
