@@ -29,9 +29,11 @@ def main(dim=512, layers=4):
                         compute_dtype="bfloat16", scan_layers=True,
                         dropout=0.0, attention_dropout=0.0)
     params = dec.init_decoder(jax.random.PRNGKey(0), cfg)
+    # sync_lag pipelines host token reads behind compute; decode_block runs
+    # 4 decode steps per device dispatch (see docs/performance-guide.md)
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=4, max_prompt_len=32,
-                                  max_len=128, sync_lag=2),
+                                  max_len=128, sync_lag=2, decode_block=4),
                       SamplingConfig(greedy=True))
 
     rng = np.random.RandomState(1)
