@@ -1,0 +1,162 @@
+"""Serving CLI — load a model and serve prompts through the
+continuous-batching engine.
+
+The reference has no inference entry point at all (SURVEY.md §1: no
+serving, no generation loop, no CLI beyond train.py); this provides the
+serving counterpart to scripts/generate.py:
+
+  # random-init smoke run, 3 prompts through 2 slots
+  python scripts/serve.py --layers 2 --dim 64 --ffn-dim 128 --heads 2 \
+      --max-positions 128 --dtype float32 --no-flash \
+      --prompt "a b c" --prompt "d e" --prompt "f" --max-new-tokens 8
+
+  # flagship from a Trainer checkpoint, all serving levers on
+  python scripts/serve.py --checkpoint checkpoints/ \
+      --sync-lag 4 --decode-block 4 --w8 --kv8 \
+      --prompts-file prompts.txt
+
+Prompts come from repeated --prompt flags, --prompts-file (one per line),
+or stdin (one per line) when neither is given. Outputs print as
+``[req <id>] <decoded text>`` in submission order, followed by an
+aggregate tokens/sec line. See docs/performance-guide.md for what each
+lever does and when to use it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--vocab-size", type=int, default=32002)
+    p.add_argument("--dim", type=int, default=2048)
+    p.add_argument("--layers", type=int, default=24)
+    p.add_argument("--ffn-dim", type=int, default=8192)
+    p.add_argument("--heads", type=int, default=32)
+    p.add_argument("--max-positions", type=int, default=8194)
+    p.add_argument("--no-multiway", action="store_true")
+    p.add_argument("--no-flash", action="store_true")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--checkpoint", default=None,
+                   help="Trainer output dir; loads the latest step")
+    # workload
+    p.add_argument("--prompt", action="append", default=None,
+                   help="repeatable; falls back to --prompts-file or stdin")
+    p.add_argument("--prompts-file", default=None)
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--eos-id", type=int, default=None)
+    p.add_argument("--greedy", action="store_true", default=True)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="> 0 switches to temperature sampling")
+    # engine levers (docs/performance-guide.md)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--max-prompt-len", type=int, default=128)
+    p.add_argument("--sync-lag", type=int, default=4)
+    p.add_argument("--decode-block", type=int, default=0)
+    p.add_argument("--prefill-chunk", type=int, default=0)
+    p.add_argument("--w8", action="store_true",
+                   help="weight-only int8 (decode is weight-read-bound)")
+    p.add_argument("--kv8", action="store_true",
+                   help="int8 KV cache (long-context/large-batch lever)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from kosmosx_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()
+
+    import jax
+    import numpy as np
+
+    from kosmosx_tpu.core.config import MagnetoConfig
+    from kosmosx_tpu.core.dtypes import init_casted
+    from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+    from kosmosx_tpu.generate import SamplingConfig
+    from kosmosx_tpu.models.language import KosmosLanguage
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    cfg = MagnetoConfig(
+        vocab_size=args.vocab_size, embed_dim=args.dim, layers=args.layers,
+        ffn_dim=args.ffn_dim, heads=args.heads,
+        max_positions=args.max_positions, multiway=not args.no_multiway,
+        use_flash_attention=not args.no_flash, compute_dtype=args.dtype,
+        scan_layers=True, dropout=0.0, attention_dropout=0.0,
+        kv_cache_dtype="int8" if args.kv8 else None)
+
+    params = init_casted(lambda k: KosmosLanguage.init(k, cfg),
+                         jax.random.PRNGKey(args.seed), cfg.dtype)
+    if args.checkpoint:
+        from scripts.generate import _load
+        params = _load(args.checkpoint, params)
+    if args.w8:
+        from kosmosx_tpu.utils.quantize import quantize_params_w8
+        params = jax.jit(quantize_params_w8)(params)
+
+    tok = KosmosTokenizer()
+    if args.prompt:
+        texts = args.prompt
+    elif args.prompts_file:
+        with open(args.prompts_file) as f:
+            texts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    else:
+        texts = [ln.rstrip("\n") for ln in sys.stdin if ln.strip()]
+    if not texts:
+        raise SystemExit("no prompts (use --prompt / --prompts-file / stdin)")
+
+    prompts = []
+    for t in texts:
+        ids, _ = tok.tokenize_texts(t, modalities=())
+        prompts.append(np.asarray(ids, np.int32).reshape(-1)
+                       [:args.max_prompt_len])
+
+    scfg = ServeConfig(
+        max_batch=args.slots, max_prompt_len=args.max_prompt_len,
+        sync_lag=args.sync_lag, decode_block=args.decode_block,
+        prefill_chunk=args.prefill_chunk,
+        max_len=(args.max_prompt_len + args.max_new_tokens
+                 + ServeConfig(sync_lag=args.sync_lag,
+                               decode_block=args.decode_block
+                               ).overrun_window))
+    sampling = (SamplingConfig(greedy=True) if args.temperature <= 0
+                else SamplingConfig(greedy=False,
+                                    temperature=args.temperature))
+    eng = ServeEngine(params, cfg, scfg, sampling)
+
+    t0 = time.perf_counter()
+    handles = []
+    pending = list(prompts)
+    while pending and eng.num_active < args.slots:
+        handles.append(eng.submit(pending.pop(0),
+                                  max_new_tokens=args.max_new_tokens,
+                                  eos_id=args.eos_id))
+    while True:
+        alive = eng.step()
+        while pending and eng.num_active < args.slots:
+            handles.append(eng.submit(pending.pop(0),
+                                      max_new_tokens=args.max_new_tokens,
+                                      eos_id=args.eos_id))
+            alive = True
+        if not alive and not pending:
+            break
+    dt = time.perf_counter() - t0
+    total = sum(len(h.tokens) for h in handles)
+    for h in handles:
+        print(f"[req {h.id}] {tok.decode(h.tokens)}")
+    print(f"# {total} tokens / {len(handles)} requests in {dt:.2f}s "
+          f"= {total / dt:.0f} tok/s (incl. compile)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
