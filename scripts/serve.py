@@ -15,6 +15,11 @@ serving counterpart to scripts/generate.py:
       --sync-lag 4 --decode-block 4 --w8 --kv8 \
       --prompts-file prompts.txt
 
+  # multimodal: pair each prompt with an image (.npy (3,H,W)); prompts
+  # without a matching --image stay text-only
+  python scripts/serve.py --model kosmos --prompt "describe this" \
+      --image img.npy
+
 Prompts come from repeated --prompt flags, --prompts-file (one per line),
 or stdin (one per line) when neither is given. Outputs print as
 ``[req <id>] <decoded text>`` in submission order, followed by an
@@ -36,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--model", choices=["language", "kosmos"],
+                   default="language")
+    p.add_argument("--image", action="append", default=None,
+                   help="repeatable .npy (3,H,W); pairs with the i-th "
+                        "prompt (--model kosmos)")
     p.add_argument("--vocab-size", type=int, default=32002)
     p.add_argument("--dim", type=int, default=2048)
     p.add_argument("--layers", type=int, default=24)
@@ -84,7 +94,6 @@ def main(argv=None):
     from kosmosx_tpu.core.dtypes import init_casted
     from kosmosx_tpu.data.tokenizer import KosmosTokenizer
     from kosmosx_tpu.generate import SamplingConfig
-    from kosmosx_tpu.models.language import KosmosLanguage
     from kosmosx_tpu.serve import ServeConfig, ServeEngine
 
     cfg = MagnetoConfig(
@@ -95,8 +104,23 @@ def main(argv=None):
         scan_layers=True, dropout=0.0, attention_dropout=0.0,
         kv_cache_dtype="int8" if args.kv8 else None)
 
-    params = init_casted(lambda k: KosmosLanguage.init(k, cfg),
-                         jax.random.PRNGKey(args.seed), cfg.dtype)
+    kcfg = None
+    if args.model == "kosmos":
+        from kosmosx_tpu.core.config import (KosmosConfig, ResamplerConfig,
+                                             VisionConfig)
+        from kosmosx_tpu.models.kosmos import Kosmos
+
+        kcfg = KosmosConfig(decoder=cfg,
+                            vision=VisionConfig(compute_dtype=args.dtype),
+                            resampler=ResamplerConfig(
+                                compute_dtype=args.dtype))
+        params = init_casted(lambda k: Kosmos.init(k, kcfg),
+                             jax.random.PRNGKey(args.seed), cfg.dtype)
+    else:
+        from kosmosx_tpu.models.language import KosmosLanguage
+
+        params = init_casted(lambda k: KosmosLanguage.init(k, cfg),
+                             jax.random.PRNGKey(args.seed), cfg.dtype)
     if args.checkpoint:
         from scripts.generate import _load
         params = _load(args.checkpoint, params)
@@ -126,27 +150,36 @@ def main(argv=None):
         sync_lag=args.sync_lag, decode_block=args.decode_block,
         prefill_chunk=args.prefill_chunk,
         max_len=(args.max_prompt_len + args.max_new_tokens
+                 + (kcfg.image_embed_len if kcfg is not None else 0)
                  + ServeConfig(sync_lag=args.sync_lag,
                                decode_block=args.decode_block
                                ).overrun_window))
     sampling = (SamplingConfig(greedy=True) if args.temperature <= 0
                 else SamplingConfig(greedy=False,
                                     temperature=args.temperature))
-    eng = ServeEngine(params, cfg, scfg, sampling)
+    eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
+
+    images = []
+    for i in range(len(prompts)):
+        if kcfg is not None and args.image and i < len(args.image):
+            images.append(np.load(args.image[i]).astype(np.float32)[None])
+        else:
+            images.append(None)
 
     t0 = time.perf_counter()
     handles = []
-    pending = list(prompts)
+    pending = list(zip(prompts, images))
     while pending and eng.num_active < args.slots:
-        handles.append(eng.submit(pending.pop(0),
-                                  max_new_tokens=args.max_new_tokens,
-                                  eos_id=args.eos_id))
+        p, im = pending.pop(0)
+        handles.append(eng.submit(p, max_new_tokens=args.max_new_tokens,
+                                  eos_id=args.eos_id, images=im))
     while True:
         alive = eng.step()
         while pending and eng.num_active < args.slots:
-            handles.append(eng.submit(pending.pop(0),
+            p, im = pending.pop(0)
+            handles.append(eng.submit(p,
                                       max_new_tokens=args.max_new_tokens,
-                                      eos_id=args.eos_id))
+                                      eos_id=args.eos_id, images=im))
             alive = True
         if not alive and not pending:
             break
