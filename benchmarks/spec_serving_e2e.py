@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--sync-lag", type=int, default=2)
+    ap.add_argument("--decode-block", type=int, default=0,
+                    help="spec rounds per device dispatch (blocked "
+                         "speculation)")
     ap.add_argument("--pretrain-steps", type=int, default=400)
     ap.add_argument("--distill-steps", type=int, default=400)
     ap.add_argument("--distill-batch", type=int, default=8)
@@ -191,7 +194,8 @@ def main(argv=None):
 
     def run_engine(spec: bool):
         window = ServeConfig(sync_lag=args.sync_lag,
-                             spec_gamma=args.gamma if spec else 0
+                             spec_gamma=args.gamma if spec else 0,
+                             decode_block=args.decode_block if spec else 0
                              ).overrun_window
         eng = ServeEngine(
             params, scfg,
@@ -199,6 +203,7 @@ def main(argv=None):
                         max_prompt_len=args.prompt_len,
                         max_len=args.prompt_len + args.new_tokens + window,
                         sync_lag=args.sync_lag,
+                        decode_block=args.decode_block if spec else 0,
                         spec_gamma=args.gamma if spec else 0),
             SamplingConfig(greedy=True),
             draft_params=draft if spec else None,
@@ -247,7 +252,8 @@ def main(argv=None):
                   f"({args.layers}L target + {args.draft_layers}L distilled "
                   f"draft, gamma={args.gamma}, {args.slots} slots, bf16"
                   f"{', kv8' if args.kv8 else ''}"
-                  f"{', w8' if args.w8 else ''})",
+                  f"{', w8' if args.w8 else ''}"
+                  f"{f', block={args.decode_block}' if args.decode_block else ''})",
         "value": round(tps_spec, 1),
         "unit": "tokens/sec/chip",
         "vs_plain_engine": round(tps_spec / tps_plain, 3),

@@ -82,8 +82,11 @@ class ServeConfig:
     # host cannot predict — is detected up to (sync_lag+1)*decode_block
     # tokens late (overrun discarded, the slot frees late). Admission
     # waits for a step boundary. Greedy outputs are identical to the
-    # per-token engine. Not combinable with spec_gamma (speculation
-    # already commits multiple tokens/dispatch).
+    # per-token engine. With spec_gamma > 0, decode_block scans K
+    # SPECULATIVE ROUNDS per dispatch instead (the spec engine is
+    # host-pipeline-bound at small sync_lag, so amortizing the dispatch
+    # cadence raises throughput; overrun grows to
+    # (sync_lag+1)*(gamma+1)*block).
     decode_block: int = 0
     # Chunked prefill: when > 0, request admission does NO full-prompt
     # prefill up front; the engine ingests the prompt prefill_chunk tokens
@@ -102,7 +105,8 @@ class ServeConfig:
         max_new_tokens + this. Single source of truth for the engine's
         submit() guard and the benchmarks' max_len sizing."""
         if self.spec_gamma > 0:
-            return (self.sync_lag + 1) * (self.spec_gamma + 1)
+            return ((self.sync_lag + 1) * (self.spec_gamma + 1)
+                    * max(self.decode_block, 1))
         return (self.sync_lag + 1) * max(self.decode_block, 1) - 1
 
 
@@ -293,15 +297,10 @@ def _decode_block_jit(params, last_tokens, caches, index, active, rng,
     return toks.T, last, caches, index
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "dcfg", "scfg",
-                                             "gamma", "pad_id",
-                                             "double_scale"),
-                   donate_argnums=(3, 4))  # in-place cache scatters
-def _spec_step_pool_jit(params, dparams, last_tokens, caches, dcaches,
-                        index, index_d, active, rng, cfg: MagnetoConfig,
-                        dcfg: MagnetoConfig, scfg: SamplingConfig,
-                        gamma: int, pad_id: int = 1,
-                        double_scale: bool = False):
+def _spec_core(params, dparams, last_tokens, caches, dcaches,
+               index, index_d, active, rng, cfg: MagnetoConfig,
+               dcfg: MagnetoConfig, scfg: SamplingConfig,
+               gamma: int, pad_id: int = 1, double_scale: bool = False):
     """One speculative round for every slot (generate.speculative
     .spec_round over the pool). Inactive slots compute on pad feed; their
     index does not advance and their emitted tokens are ignored.
@@ -319,6 +318,41 @@ def _spec_step_pool_jit(params, dparams, last_tokens, caches, dcaches,
     index = index + n_emit
     index_d = index_d + n_emit
     return emit, n_emit, carry_next, caches, dcaches, index, index_d
+
+
+# in-place cache scatters: donate both cache pools
+_spec_step_pool_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "dcfg", "scfg", "gamma", "pad_id",
+                              "double_scale"),
+    donate_argnums=(3, 4))(_spec_core)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dcfg", "scfg", "gamma",
+                                             "block", "pad_id",
+                                             "double_scale"),
+                   donate_argnums=(3, 4))
+def _spec_block_pool_jit(params, dparams, last_tokens, caches, dcaches,
+                         index, index_d, active, rng, cfg: MagnetoConfig,
+                         dcfg: MagnetoConfig, scfg: SamplingConfig,
+                         gamma: int, block: int, pad_id: int = 1,
+                         double_scale: bool = False):
+    """``block`` speculative rounds per dispatch (lax.scan over the round
+    core) — the spec analog of ``_decode_block_jit``: the spec engine is
+    host-pipeline-bound at small sync_lag, so amortizing the dispatch +
+    drain cadence raises throughput. Returns emits (block, B, gamma+1) and
+    n_emits (block, B)."""
+    def body(carry, k):
+        last, caches, dcaches, index, index_d = carry
+        emit, n_emit, last, caches, dcaches, index, index_d = _spec_core(
+            params, dparams, last, caches, dcaches, index, index_d, active,
+            jax.random.fold_in(rng, k), cfg, dcfg, scfg, gamma,
+            pad_id=pad_id, double_scale=double_scale)
+        return (last, caches, dcaches, index, index_d), (emit, n_emit)
+
+    (last, caches, dcaches, index, index_d), (emits, n_emits) = jax.lax.scan(
+        body, (last_tokens, caches, dcaches, index, index_d),
+        jnp.arange(block))
+    return emits, n_emits, last, caches, dcaches, index, index_d
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "double_scale"),
@@ -424,10 +458,6 @@ class ServeEngine:
         self.emitted_total = 0
         # blocked decode (ServeConfig.decode_block)
         self.block = max(int(self.scfg.decode_block), 0)
-        if self.block > 1 and self.spec:
-            raise NotImplementedError(
-                "decode_block > 1 + spec_gamma is not implemented "
-                "(speculation already commits multiple tokens/dispatch)")
         # chunked prefill (ServeConfig.prefill_chunk)
         self.chunked = self.scfg.prefill_chunk > 0
         if self.chunked:
@@ -657,7 +687,17 @@ class ServeEngine:
                 self._active_dev = jnp.asarray(active_list, bool)
                 self._active_key = key
             active = self._active_dev
-            if self.spec:
+            if self.spec and self.block > 1:
+                emit, n_emit, self.last, self.caches, self.draft_caches, \
+                    self.index, self.index_d = _spec_block_pool_jit(
+                        self.dec_params, self.draft_params, self.last,
+                        self.caches, self.draft_caches, self.index,
+                        self.index_d, active,
+                        self._fold(), self.cfg, self.draft_cfg,
+                        self.sampling, self.scfg.spec_gamma, self.block,
+                        pad_id=self.scfg.pad_id,
+                        double_scale=self.double_scale)
+            elif self.spec:
                 emit, n_emit, carry, self.caches, self.draft_caches, \
                     self.index, self.index_d = _spec_step_pool_jit(
                         self.dec_params, self.draft_params, self.last,
@@ -717,25 +757,31 @@ class ServeEngine:
         against the slot occupancy AT DISPATCH TIME (a finished request's
         trailing speculative tokens are discarded)."""
         emit, n_emit, snapshot = self._inflight.popleft()
-        toks = jax.device_get(emit)                       # (B, 1|gamma+1)
+        toks = jax.device_get(emit)           # (B, 1|gamma+1) or blocked
         counts = (n_emit if isinstance(n_emit, list)
-                  else [int(n) for n in jax.device_get(n_emit)])
-        for slot, req in enumerate(snapshot):
-            if req is None or req.done:
-                continue
-            committed = 0
-            for j in range(counts[slot]):
-                if req.done or len(req.tokens) >= req.max_new_tokens:
-                    break  # sync-lag overrun past budget/EOS
-                tok = int(toks[slot, j])
-                req.tokens.append(tok)
-                self.emitted_total += 1
-                committed += 1
-                self._finish_if_needed(slot, req, tok)
-            if self.spec and committed > 0:
-                # draft tokens actually banked this round (the +1 is the
-                # target's own correction/bonus token)
-                self.accepted_total += committed - 1
+                  else jax.device_get(n_emit))
+        if getattr(toks, "ndim", 2) == 3:     # blocked spec: (K, B, g+1)
+            rounds = [(toks[k], [int(n) for n in counts[k]])
+                      for k in range(toks.shape[0])]
+        else:
+            rounds = [(toks, [int(n) for n in counts])]
+        for rtoks, rcounts in rounds:
+            for slot, req in enumerate(snapshot):
+                if req is None or req.done:
+                    continue
+                committed = 0
+                for j in range(rcounts[slot]):
+                    if req.done or len(req.tokens) >= req.max_new_tokens:
+                        break  # sync-lag overrun past budget/EOS
+                    tok = int(rtoks[slot, j])
+                    req.tokens.append(tok)
+                    self.emitted_total += 1
+                    committed += 1
+                    self._finish_if_needed(slot, req, tok)
+                if self.spec and committed > 0:
+                    # draft tokens actually banked this round (the +1 is
+                    # the target's own correction/bonus token)
+                    self.accepted_total += committed - 1
 
     def run(self, max_steps: Optional[int] = None):
         """Drain every pending/in-flight request (bounded by max_steps)."""

@@ -183,15 +183,6 @@ def test_engine_decode_block_eos_discards_overrun(params):
     assert eng.slots == [None, None]  # slot freed despite the overrun
 
 
-def test_engine_decode_block_rejects_spec(params):
-    with pytest.raises(NotImplementedError):
-        ServeEngine(params, CFG,
-                    ServeConfig(max_batch=1, max_prompt_len=16, max_len=64,
-                                decode_block=2, spec_gamma=2),
-                    SamplingConfig(greedy=True),
-                    draft_params=params, draft_cfg=CFG)
-
-
 @pytest.mark.parametrize("lag", [1, 3])
 def test_engine_sync_lag_matches_sync(params, lag):
     """Lagged host sync must produce identical greedy outputs (the device
@@ -244,18 +235,20 @@ def draft_params():
     return dec.init_decoder(jax.random.PRNGKey(9), DRAFT_CFG)
 
 
-@pytest.mark.parametrize("lag", [0, 2])
-def test_engine_speculative_matches_plain(params, draft_params, lag):
+@pytest.mark.parametrize("lag,block", [(0, 0), (2, 0), (0, 2), (1, 3)])
+def test_engine_speculative_matches_plain(params, draft_params, lag, block):
     """Speculative serving (any draft) produces the same greedy tokens as
-    the plain engine, for staggered multi-request workloads."""
+    the plain engine, for staggered multi-request workloads — including
+    blocked speculation (decode_block spec rounds per dispatch)."""
     prompts = _prompts(5, key=41)
     new = 8
 
     def run(spec):
         eng = ServeEngine(
             params, CFG,
-            ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
-                        sync_lag=lag, spec_gamma=3 if spec else 0),
+            ServeConfig(max_batch=3, max_prompt_len=16, max_len=96,
+                        sync_lag=lag, spec_gamma=3 if spec else 0,
+                        decode_block=block if spec else 0),
             SamplingConfig(greedy=True),
             draft_params=draft_params if spec else None,
             draft_cfg=DRAFT_CFG if spec else None)
