@@ -387,10 +387,12 @@ def test_engine_chunked_matches_oneshot_on_kosmos_engine(devices):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_engine_fuzz_random_schedules_match_plain(params, seed):
-    """Randomized workloads (arrival times, prompt lengths, budgets) across
-    engine configurations (sync_lag / prefill_chunk) must all produce the
-    reference (plain whole-prompt, synchronous) greedy outputs."""
+def test_engine_fuzz_random_schedules_match_plain(params, draft_params,
+                                                  seed):
+    """Randomized workloads (arrival times, prompt lengths, budgets,
+    per-request EOS ids) across engine configurations (sync_lag /
+    prefill_chunk / decode_block / blocked speculation) must all produce
+    the reference (plain whole-prompt, synchronous) greedy outputs."""
     import random
 
     r = random.Random(seed)
@@ -399,15 +401,20 @@ def test_engine_fuzz_random_schedules_match_plain(params, seed):
     for i in range(n_req):
         lp = r.randint(2, 14)
         prompt = [r.randint(4, CFG.vocab_size - 1) for _ in range(lp)]
-        reqs.append((prompt, r.randint(1, 9), r.randint(0, 4)))
+        # a random (likely-unhit, sometimes-hit) EOS id exercises the
+        # mid-stream discard paths differently per config
+        eos = r.randint(4, CFG.vocab_size - 1) if r.random() < 0.5 else None
+        reqs.append((prompt, r.randint(1, 9), r.randint(0, 4), eos))
 
-    def run(lag, chunk, block=0):
+    def run(lag, chunk, block=0, spec=0):
         eng = ServeEngine(
             params, CFG,
-            ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
+            ServeConfig(max_batch=3, max_prompt_len=16, max_len=96,
                         sync_lag=lag, prefill_chunk=chunk,
-                        decode_block=block),
-            SamplingConfig(greedy=True))
+                        decode_block=block, spec_gamma=spec),
+            SamplingConfig(greedy=True),
+            draft_params=draft_params if spec else None,
+            draft_cfg=DRAFT_CFG if spec else None)
         handles = []
         i = 0
         guard = 0
@@ -416,17 +423,20 @@ def test_engine_fuzz_random_schedules_match_plain(params, seed):
             assert guard < 500, "engine failed to drain"
             # arrival schedule: submit the next request after its delay
             while i < n_req and reqs[i][2] <= guard:
-                prompt, budget, _ = reqs[i]
-                handles.append(eng.submit(prompt, max_new_tokens=budget))
+                prompt, budget, _, eos = reqs[i]
+                handles.append(eng.submit(prompt, max_new_tokens=budget,
+                                          eos_id=eos))
                 i += 1
         eng.run()
         return [h.tokens for h in handles]
 
     ref = run(0, 0)
-    for lag, chunk, block in [(0, 3, 0), (2, 0, 0), (3, 5, 0), (1, 16, 0),
-                              (0, 0, 2), (2, 0, 3), (1, 4, 2)]:
-        got = run(lag, chunk, block)
-        assert got == ref, (lag, chunk, block)
+    for lag, chunk, block, spec in [
+            (0, 3, 0, 0), (2, 0, 0, 0), (3, 5, 0, 0), (1, 16, 0, 0),
+            (0, 0, 2, 0), (2, 0, 3, 0), (1, 4, 2, 0),
+            (0, 0, 0, 3), (2, 0, 2, 3), (1, 0, 3, 2)]:
+        got = run(lag, chunk, block, spec)
+        assert got == ref, (lag, chunk, block, spec)
 
 
 def _tiny_kcfg():
