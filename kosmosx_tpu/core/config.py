@@ -106,6 +106,19 @@ class MagnetoConfig:
     # cache read bandwidth at decode; dequant fuses into the attention
     # matmuls like the W8 weight path — see BASELINE.md study).
     kv_cache_dtype: Optional[str] = None
+    # Mixture-of-experts FFN (nn/moe.py). 0 = dense FFN (reference parity;
+    # the reference's only expert structure is the static multiway split).
+    # >0 replaces every layer's FFN with a token-routed MoE of that many
+    # experts; multiway then applies to attention/LN only. Expert weights
+    # carry a leading (E, ...) axis sharded over the mesh's ``expert`` axis.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    # per-group (= per batch row) expert buffer headroom; overflow tokens
+    # ride the residual unchanged (Switch drop semantics)
+    moe_capacity_factor: float = 1.25
+    # combined into the single aux scalar the decoder returns with_aux=True
+    moe_aux_weight: float = 0.01
+    moe_z_weight: float = 1e-3
 
     @property
     def head_dim(self) -> int:

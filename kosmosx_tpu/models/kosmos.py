@@ -85,8 +85,10 @@ class Kosmos:
     @staticmethod
     def apply(params, text_tokens, images, cfg: KosmosConfig, *,
               image_positions=None, segment_ids=None, use_padding_mask=False,
-              rng=None, interpret: bool = False):
-        """Forward pass -> logits (B, L + M*64, vocab).
+              rng=None, interpret: bool = False, with_aux: bool = False):
+        """Forward pass -> logits (B, L + M*64, vocab); with ``with_aux=True``
+        -> (logits, aux) where aux is the summed MoE routing loss
+        (``cfg.decoder.moe_experts`` — 0 for dense models).
 
         ``images``: (B, 3, H, W) single image (reference path) or
         (B, M, 3, H, W) interleaved multi-image with optional per-sample
@@ -122,6 +124,11 @@ class Kosmos:
                 text_tokens, dcfg.padding_idx, num_images,
                 cfg.image_embed_len, image_positions, index=cfg.splice_index)
 
+        if with_aux:
+            h, _, aux = dec.run_layers(params["decoder"], x, dcfg,
+                                       segment_ids=segment_ids, rng=rngs[1],
+                                       interpret=interpret, with_aux=True)
+            return dec.output_logits(params["decoder"], h, dcfg), aux
         h, _ = dec.run_layers(params["decoder"], x, dcfg,
                               segment_ids=segment_ids, rng=rngs[1],
                               interpret=interpret)

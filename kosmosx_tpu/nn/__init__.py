@@ -8,6 +8,7 @@ from kosmosx_tpu.nn.decoder import (
     output_logits,
     run_layers,
 )
+from kosmosx_tpu.nn.moe import init_moe_ffn, moe_ffn
 from kosmosx_tpu.nn.multiway import init_multiway, multiway_apply
 from kosmosx_tpu.nn.resampler import init_resampler, resampler
 from kosmosx_tpu.nn.vision import clip_vit, init_clip_vit, patchify
@@ -18,6 +19,7 @@ __all__ = [
     "init_self_attention", "self_attention",
     "decoder_forward", "forward_embedding", "init_cache", "init_decoder",
     "output_logits", "run_layers",
+    "init_moe_ffn", "moe_ffn",
     "init_multiway", "multiway_apply",
     "init_resampler", "resampler",
     "clip_vit", "init_clip_vit", "patchify",

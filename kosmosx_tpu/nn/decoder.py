@@ -38,6 +38,7 @@ from kosmosx_tpu.core import initializers as init
 from kosmosx_tpu.core.config import MagnetoConfig
 from kosmosx_tpu.nn import layers
 from kosmosx_tpu.nn.attention import init_self_attention, self_attention
+from kosmosx_tpu.nn.moe import init_moe_ffn, moe_ffn
 from kosmosx_tpu.nn.multiway import init_multiway, multiway_apply
 
 
@@ -89,9 +90,14 @@ def init_decoder_layer(key, cfg: MagnetoConfig):
                                     subln=cfg.subln, multiway=cfg.multiway),
         "attn_ln": init_multiway(cfg.multiway, kn1,
                                  lambda k_: layers.init_layer_norm(cfg.embed_dim)),
-        "ffn": init_multiway(cfg.multiway, kf,
-                             lambda k_: init_ffn(k_, cfg.embed_dim, cfg.ffn_dim,
-                                                 subln=cfg.subln)),
+        # MoE replaces the dense FFN outright (it IS the expert structure, so
+        # the multiway duplication applies to attention/LN only)
+        "ffn": (init_moe_ffn(kf, cfg.embed_dim, cfg.ffn_dim, cfg.moe_experts,
+                             subln=cfg.subln)
+                if cfg.moe_experts > 0 else
+                init_multiway(cfg.multiway, kf,
+                              lambda k_: init_ffn(k_, cfg.embed_dim, cfg.ffn_dim,
+                                                  subln=cfg.subln))),
         "final_ln": init_multiway(cfg.multiway, kn2,
                                   lambda k_: layers.init_layer_norm(cfg.embed_dim)),
     }
@@ -115,6 +121,10 @@ def _apply_magneto_gamma(layer_params, gamma: float):
     def scale_ffn(p):
         if "A" in p and "B" in p:
             return {"A": scale_ffn(p["A"]), "B": scale_ffn(p["B"])}
+        if "experts" in p:  # MoE: gamma applies to the stacked expert weights
+            return {**p, "experts": {**p["experts"],
+                                     "fc1": scale_linear(p["experts"]["fc1"]),
+                                     "fc2": scale_linear(p["experts"]["fc2"])}}
         return {**p, "fc1": scale_linear(p["fc1"]), "fc2": scale_linear(p["fc2"])}
 
     out = dict(layer_params)
@@ -156,16 +166,27 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
 
     residual = x
     h = multiway_apply(cfg.multiway, layers.layer_norm, params["final_ln"], x, split)
-    h = multiway_apply(
-        cfg.multiway,
-        lambda p, xx: ffn(p, xx, activation=cfg.activation,
-                          dropout_rate=cfg.dropout,
-                          activation_dropout=cfg.activation_dropout,
-                          rng=rngs[2], dtype=dtype,
-                          activation_fp32=cfg.activation_fp32),
-        params["ffn"], h, split)
+    aux = jnp.zeros([], jnp.float32)
+    if cfg.moe_experts > 0:
+        h, aux = moe_ffn(params["ffn"], h, num_experts=cfg.moe_experts,
+                         top_k=cfg.moe_top_k,
+                         capacity_factor=cfg.moe_capacity_factor,
+                         activation=cfg.activation,
+                         activation_fp32=cfg.activation_fp32, dtype=dtype,
+                         aux_weight=cfg.moe_aux_weight,
+                         z_weight=cfg.moe_z_weight,
+                         rng=rngs[2], dropout_rate=cfg.dropout)
+    else:
+        h = multiway_apply(
+            cfg.multiway,
+            lambda p, xx: ffn(p, xx, activation=cfg.activation,
+                              dropout_rate=cfg.dropout,
+                              activation_dropout=cfg.activation_dropout,
+                              rng=rngs[2], dtype=dtype,
+                              activation_fp32=cfg.activation_fp32),
+            params["ffn"], h, split)
     x = residual + h
-    return x, new_cache
+    return x, new_cache, aux
 
 
 # ---------------------------------------------------------------------------
@@ -276,8 +297,11 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                caches: Optional[Any] = None,
                cache_index: Optional[jax.Array] = None,
                prefill: bool = False,
-               interpret: bool = False):
-    """Run the layer stack + final LN. Returns (hidden, new_caches)."""
+               interpret: bool = False,
+               with_aux: bool = False):
+    """Run the layer stack + final LN. Returns (hidden, new_caches), or
+    (hidden, new_caches, aux) when ``with_aux=True`` — ``aux`` is the summed
+    fp32 MoE routing loss across layers (0 for dense models)."""
 
     def one_layer(lp, xx, lrng, lcache):
         return decoder_layer(lp, xx, cfg, split=split, segment_ids=segment_ids,
@@ -319,10 +343,11 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                 lp, lrng, li = sc
                 if w8_slots:
                     lp = _graft_stacked_w8(lp, w8_slots, li)
-                y, _ = one_layer(lp, xx, lrng, None)
-                return y, None
+                y, _, laux = one_layer(lp, xx, lrng, None)
+                return y, laux
 
-            x, _ = jax.lax.scan(body, x, (scan_xs, rngs, layer_ids))
+            x, auxs = jax.lax.scan(body, x, (scan_xs, rngs, layer_ids))
+            aux = auxs.sum()
             new_caches = None
         else:
             # Carry the stacked (layers, ...) cache and update each layer's
@@ -338,27 +363,32 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                     lambda c: jax.lax.dynamic_index_in_dim(c, li, 0,
                                                            keepdims=False),
                     cache_all)
-                y, ncache = one_layer(lp, xx, lrng, lcache)
+                y, ncache, laux = one_layer(lp, xx, lrng, lcache)
                 cache_all = jax.tree_util.tree_map(
                     lambda c, n: jax.lax.dynamic_update_index_in_dim(
                         c, n, li, 0),
                     cache_all, ncache)
-                return (y, cache_all), None
+                return (y, cache_all), laux
 
-            (x, new_caches), _ = jax.lax.scan(
+            (x, new_caches), auxs = jax.lax.scan(
                 body, (x, caches),
                 (jnp.arange(cfg.layers), scan_xs, rngs))
+            aux = auxs.sum()
     else:
         new_caches = [] if caches is not None else None
         rngs = (jax.random.split(rng, cfg.layers) if rng is not None else
                 [None] * cfg.layers)
+        aux = jnp.zeros([], jnp.float32)
         for i, lp in enumerate(params["layers"]):
             lcache = caches[i] if caches is not None else None
-            x, ncache = one_layer(lp, x, rngs[i], lcache)
+            x, ncache, laux = one_layer(lp, x, rngs[i], lcache)
+            aux = aux + laux
             if caches is not None:
                 new_caches.append(ncache)
 
     x = multiway_apply(cfg.multiway, layers.layer_norm, params["ln"], x, split)
+    if with_aux:
+        return x, new_caches, aux
     return x, new_caches
 
 
@@ -370,7 +400,8 @@ def decoder_forward(params, tokens, cfg: MagnetoConfig, *,
                     segment_ids: Optional[jax.Array] = None,
                     rng: Optional[jax.Array] = None,
                     interpret: bool = False,
-                    position_offset=0):
+                    position_offset=0,
+                    with_aux: bool = False):
     """tokens (B, L) -> logits (B, L, vocab). The KosmosLanguage path
     (/root/reference/kosmosx/model.py:310-320: single embed-scale + positions,
     then decode, then project).
@@ -380,6 +411,10 @@ def decoder_forward(params, tokens, cfg: MagnetoConfig, *,
     rngs = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
     x, _ = forward_embedding(params, cfg, tokens, rng=rngs[0],
                              offset=position_offset)
+    if with_aux:
+        h, _, aux = run_layers(params, x, cfg, segment_ids=segment_ids,
+                               rng=rngs[1], interpret=interpret, with_aux=True)
+        return output_logits(params, h, cfg), aux
     h, _ = run_layers(params, x, cfg, segment_ids=segment_ids, rng=rngs[1],
                       interpret=interpret)
     return output_logits(params, h, cfg)

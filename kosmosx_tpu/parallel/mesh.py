@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "tensor", "expert")
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -43,23 +43,25 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(data: int = -1, fsdp: int = 1, tensor: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, fsdp, tensor) mesh. ``data=-1`` absorbs remaining
-    devices. Uses mesh_utils for ICI-friendly physical layout when possible."""
+              expert: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, fsdp, tensor, expert) mesh. ``data=-1`` absorbs
+    remaining devices. The ``expert`` axis (MoE expert parallelism,
+    nn/moe.py) defaults to 1 so dense models see the familiar 3-axis layout.
+    Uses mesh_utils for ICI-friendly physical layout when possible."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, \
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+        assert n % (fsdp * tensor * expert) == 0, (n, fsdp, tensor, expert)
+        data = n // (fsdp * tensor * expert)
+    assert data * fsdp * tensor * expert == n, \
+        f"mesh {data}x{fsdp}x{tensor}x{expert} != {n} devices"
     try:
         from jax.experimental import mesh_utils
 
-        dev_array = mesh_utils.create_device_mesh((data, fsdp, tensor),
+        dev_array = mesh_utils.create_device_mesh((data, fsdp, tensor, expert),
                                                   devices=devices)
     except Exception:
-        dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+        dev_array = np.asarray(devices).reshape(data, fsdp, tensor, expert)
     return Mesh(dev_array, AXES)
 
 
@@ -85,6 +87,7 @@ def make_hybrid_mesh(*, dcn_data: int = 1, data: int = -1, fsdp: int = 1,
     if data == -1:
         assert per_slice % (fsdp * tensor) == 0, (per_slice, fsdp, tensor)
         data = per_slice // (fsdp * tensor)
+    expert = 1  # MoE expert parallelism stays within a slice; DCN is data-only
     # granule = TPU slice when the runtime exposes dcn_data distinct
     # slice_index values (real multi-slice); otherwise processes (CPU /
     # forced backends, where every device reports slice 0 — e.g. the
@@ -93,9 +96,9 @@ def make_hybrid_mesh(*, dcn_data: int = 1, data: int = -1, fsdp: int = 1,
     slice_ids = {getattr(d, "slice_index", None) for d in devs}
     use_slices = None not in slice_ids and len(slice_ids) == dcn_data
     dev_array = mesh_utils.create_hybrid_device_mesh(
-        (data, fsdp, tensor), (dcn_data, 1, 1),
+        (data, fsdp, tensor, expert), (dcn_data, 1, 1, 1),
         process_is_granule=not use_slices)
-    # fold the DCN replica axis into data: (dcn, data, fsdp, tensor) ->
-    # (dcn*data, fsdp, tensor)
-    dev_array = dev_array.reshape(dcn_data * data, fsdp, tensor)
+    # fold the DCN replica axis into data: (dcn, data, fsdp, tensor, expert)
+    # -> (dcn*data, fsdp, tensor, expert)
+    dev_array = dev_array.reshape(dcn_data * data, fsdp, tensor, expert)
     return Mesh(dev_array, AXES)

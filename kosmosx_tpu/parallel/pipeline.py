@@ -81,8 +81,7 @@ def _stage_forward(layer_params, x, cfg: MagnetoConfig, interpret: bool):
     """Run this device's (L/S, ...) stacked layer slice (no final LN)."""
 
     def one_layer(lp, xx):
-        y, _ = dec.decoder_layer(lp, xx, cfg, interpret=interpret)
-        return y
+        return dec.decoder_layer(lp, xx, cfg, interpret=interpret)[0]
 
     if cfg.remat:
         one_layer = jax.checkpoint(

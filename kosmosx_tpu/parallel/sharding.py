@@ -51,6 +51,21 @@ def _spec_for(names: Tuple, leaf) -> P:
     parent = strs[-2] if len(strs) >= 2 else ""
     nd = getattr(leaf, "ndim", 0)
 
+    # MoE (nn/moe.py): expert-stacked leaves carry a leading E axis sharded
+    # over the ``expert`` mesh axis; within an expert, fc1 is column-parallel
+    # and fc2 row-parallel like the dense FFN rules below. The router stays
+    # tiny: replicate its E dim.
+    if "experts" in strs:
+        if last == "w" and nd == 3:
+            return P("expert", "tensor", "fsdp") if parent == "fc2" \
+                else P("expert", "fsdp", "tensor")
+        if nd == 2:  # biases (E,F)/(E,D), ffn_ln scale/bias (E,F)
+            return P("expert", None) if parent == "fc2" \
+                else P("expert", "tensor")
+        return P()
+    if parent == "router":
+        return P("fsdp", None)
+
     # embeddings: (vocab/positions, model_dim) — vocab over fsdp, model dim
     # over tensor (matches the out-projection orientation below)
     if last == "table":

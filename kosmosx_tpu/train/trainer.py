@@ -62,6 +62,7 @@ class TrainConfig:
     data: int = -1
     fsdp: int = 1
     tensor: int = 1
+    expert: int = 1  # MoE expert parallelism (nn/moe.py)
 
 
 class TrainState(dict):
@@ -105,6 +106,15 @@ def lm_loss_fn(model_cfg, *, z_loss: float = 0.0) -> Callable:
         seg = None
         if mask is not None:
             seg = jnp.where(mask > 0, 0, -1).astype(jnp.int32)
+        if model_cfg.moe_experts > 0:
+            logits, moe_aux = decoder_forward(params, tokens, model_cfg,
+                                              segment_ids=seg, rng=rng,
+                                              with_aux=True)
+            loss, metrics = next_token_loss(logits, tokens, mask,
+                                            z_loss=z_loss)
+            metrics = dict(metrics)
+            metrics["moe_aux"] = moe_aux
+            return loss + moe_aux, metrics
         logits = decoder_forward(params, tokens, model_cfg,
                                  segment_ids=seg, rng=rng)
         return next_token_loss(logits, tokens, mask, z_loss=z_loss)
@@ -118,6 +128,16 @@ def kosmos_loss_fn(kcfg, *, z_loss: float = 0.0) -> Callable:
     from kosmosx_tpu.train.loss import multimodal_next_token_loss
 
     def loss_fn(params, batch, rng):
+        if kcfg.decoder.moe_experts > 0:
+            logits, moe_aux = Kosmos.apply(
+                params, batch["text_tokens"], batch["images"], kcfg,
+                use_padding_mask=True, rng=rng, with_aux=True)
+            loss, metrics = multimodal_next_token_loss(
+                logits, batch["text_tokens"], kcfg.image_embed_len,
+                kcfg.splice_index, kcfg.decoder.padding_idx, z_loss=z_loss)
+            metrics = dict(metrics)
+            metrics["moe_aux"] = moe_aux
+            return loss + moe_aux, metrics
         logits = Kosmos.apply(params, batch["text_tokens"], batch["images"],
                               kcfg, use_padding_mask=True, rng=rng)
         return multimodal_next_token_loss(
@@ -135,7 +155,7 @@ class Trainer:
                  cfg: TrainConfig, mesh=None):
         self.cfg = cfg
         self.mesh = mesh or make_mesh(data=cfg.data, fsdp=cfg.fsdp,
-                                      tensor=cfg.tensor)
+                                      tensor=cfg.tensor, expert=cfg.expert)
         schedule = make_schedule(cfg.schedule, cfg.learning_rate,
                                  cfg.total_steps, cfg.warmup_steps)
         self.schedule = schedule

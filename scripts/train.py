@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--heads", type=int, default=32)
     p.add_argument("--max-positions", type=int, default=2048)
     p.add_argument("--no-multiway", action="store_true")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="replace the dense FFN with a token-routed MoE of "
+                        "this many experts (nn/moe.py); 0 = dense")
+    p.add_argument("--moe-top-k", type=int, default=2)
+    p.add_argument("--moe-capacity-factor", type=float, default=1.25)
     # vision tower / resampler (kosmos model; defaults = CLIP ViT-L/14)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--patch-size", type=int, default=14)
@@ -76,6 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", type=int, default=-1)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
+    p.add_argument("--expert", type=int, default=1,
+                   help="expert-parallel mesh axis size (MoE)")
     # data
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic batches (no dataset needed)")
@@ -120,7 +127,9 @@ def main(argv=None):
         max_positions=args.max_positions, multiway=not args.no_multiway,
         compute_dtype=args.dtype, use_flash_attention=not args.no_flash,
         scan_layers=args.scan_layers, remat=args.remat,
-        remat_policy=args.remat_policy)
+        remat_policy=args.remat_policy, moe_experts=args.moe_experts,
+        moe_top_k=args.moe_top_k,
+        moe_capacity_factor=args.moe_capacity_factor)
     tcfg = TrainConfig(
         batch_size=args.batch_size, grad_accum=args.grad_accum,
         seq_len=args.seq_len, seed=args.seed, learning_rate=args.lr,
@@ -129,7 +138,8 @@ def main(argv=None):
         total_steps=args.steps, warmup_steps=args.warmup_steps,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         output_dir=args.output_dir, resume=args.resume,
-        data=args.data, fsdp=args.fsdp, tensor=args.tensor)
+        data=args.data, fsdp=args.fsdp, tensor=args.tensor,
+        expert=args.expert)
 
     if args.model == "language":
         from kosmosx_tpu.nn import decoder as dec

@@ -42,7 +42,7 @@ def main():
     # hybrid mesh: DCN axis = process boundary (dcn_data=2), ICI = the 2
     # local devices as fsdp
     mesh = make_hybrid_mesh(dcn_data=num_procs, data=1, fsdp=2, tensor=1)
-    assert mesh.devices.shape == (num_procs, 2, 1), mesh.devices.shape
+    assert mesh.devices.shape == (num_procs, 2, 1, 1), mesh.devices.shape
 
     import numpy as np
     import jax.numpy as jnp

@@ -205,8 +205,8 @@ def test_multimodal_batches_collate(devices):
 def test_hybrid_mesh_single_slice_fallback(devices):
     from kosmosx_tpu.parallel.mesh import make_hybrid_mesh
     mesh = make_hybrid_mesh(dcn_data=1, data=2, fsdp=2, tensor=2)
-    assert mesh.axis_names == ("data", "fsdp", "tensor")
-    assert mesh.devices.shape == (2, 2, 2)
+    assert mesh.axis_names == ("data", "fsdp", "tensor", "expert")
+    assert mesh.devices.shape == (2, 2, 2, 1)
 
 
 def test_multimodal_loss_boundary_alignment(devices):
