@@ -20,8 +20,12 @@ serving counterpart to scripts/generate.py:
   python scripts/serve.py --model kosmos --prompt "describe this" \
       --image img.npy
 
+  # HTTP daemon (serve/server.py): POST /v1/completions, /healthz, /v1/stats
+  python scripts/serve.py --http 8000 --sync-lag 4 --decode-block 4
+
 Prompts come from repeated --prompt flags, --prompts-file (one per line),
-or stdin (one per line) when neither is given. Outputs print as
+or stdin (one per line) when neither is given; with --http the server
+runs until interrupted and prompts arrive over the network. Outputs print as
 ``[req <id>] <decoded text>`` in submission order, followed by an
 aggregate tokens/sec line. See docs/performance-guide.md for what each
 lever does and when to use it.
@@ -78,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV cache (long-context/large-batch lever)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve over HTTP instead of batch prompts "
+                        "(POST /v1/completions, GET /healthz, /v1/stats)")
+    p.add_argument("--host", default="127.0.0.1")
     return p
 
 
@@ -129,6 +137,46 @@ def main(argv=None):
         params = jax.jit(quantize_params_w8)(params)
 
     tok = KosmosTokenizer()
+
+    if args.http is not None:
+        scfg = ServeConfig(
+            max_batch=args.slots, max_prompt_len=args.max_prompt_len,
+            sync_lag=args.sync_lag, decode_block=args.decode_block,
+            prefill_chunk=args.prefill_chunk,
+            max_len=(args.max_prompt_len + args.max_new_tokens
+                     + (kcfg.image_embed_len if kcfg is not None else 0)
+                     + ServeConfig(sync_lag=args.sync_lag,
+                                   decode_block=args.decode_block
+                                   ).overrun_window))
+        sampling = (SamplingConfig(greedy=True) if args.temperature <= 0
+                    else SamplingConfig(greedy=False,
+                                        temperature=args.temperature))
+        eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
+
+        class _Tok:  # adapt KosmosTokenizer to the server's encode/decode
+            def encode(self, s):
+                ids, _ = tok.tokenize_texts(s, modalities=())
+                import numpy as _np
+                return [int(t) for t in
+                        _np.asarray(ids).reshape(-1)[:args.max_prompt_len]]
+
+            def decode(self, ids):
+                return tok.decode(ids)
+
+        from kosmosx_tpu.serve import ServeServer
+        srv = ServeServer(eng, host=args.host, port=args.http,
+                          tokenizer=_Tok(),
+                          default_max_tokens=args.max_new_tokens)
+        srv.start()
+        print(f"serving on http://{srv.address[0]}:{srv.address[1]} "
+              f"(ctrl-c to stop)", file=sys.stderr)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return
+
     if args.prompt:
         texts = args.prompt
     elif args.prompts_file:

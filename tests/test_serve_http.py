@@ -1,0 +1,162 @@
+"""HTTP serving daemon (kosmosx_tpu/serve/server.py).
+
+Spins a real ThreadingHTTPServer on an ephemeral port over a tiny engine and
+drives it with urllib: non-streaming and streaming completions must match the
+direct-engine greedy output; concurrent requests batch; stats/health work;
+bad payloads fail without wedging the dispatcher.
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from kosmosx_tpu.core.config import MagnetoConfig
+from kosmosx_tpu.generate import SamplingConfig
+from kosmosx_tpu.nn import decoder as dec
+from kosmosx_tpu.serve import ServeConfig, ServeEngine, ServeServer
+
+CFG = MagnetoConfig(vocab_size=97, embed_dim=64, ffn_dim=128, layers=2,
+                    heads=4, max_positions=128, use_flash_attention=False,
+                    multiway=False, dropout=0.0, attention_dropout=0.0,
+                    scan_layers=True)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return dec.init_decoder(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture()
+def server(params):
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=3, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    srv = ServeServer(eng, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, payload, stream=False):
+    host, port = srv.address[0], srv.address[1]
+    req = urllib.request.Request(
+        f"http://{host}:{port}/v1/completions",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    resp = urllib.request.urlopen(req, timeout=120)
+    if not stream:
+        return resp.status, json.loads(resp.read())
+    lines = [json.loads(l) for l in resp.read().splitlines() if l.strip()]
+    return resp.status, lines
+
+
+def _get(srv, path):
+    host, port = srv.address[0], srv.address[1]
+    resp = urllib.request.urlopen(f"http://{host}:{port}{path}", timeout=30)
+    return resp.status, json.loads(resp.read())
+
+
+def _ref_tokens(params, prompt, new):
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=1, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    h = eng.submit(prompt, max_new_tokens=new)
+    eng.run()
+    return h.tokens
+
+
+def _prompt(i, lp=5):
+    return [int(t) for t in np.asarray(jax.random.randint(
+        jax.random.PRNGKey(40 + i), (lp,), 4, CFG.vocab_size))]
+
+
+def test_health_and_stats(server):
+    code, body = _get(server, "/healthz")
+    assert code == 200 and body == {"ok": True}
+    code, body = _get(server, "/v1/stats")
+    assert code == 200 and body["max_batch"] == 3
+    code2, _ = _get(server, "/healthz")
+    assert code2 == 200
+
+
+def test_completion_matches_engine(server, params):
+    p = _prompt(0)
+    code, body = _post(server, {"prompt": p, "max_tokens": 6})
+    assert code == 200
+    assert body["num_tokens"] == 6
+    assert body["tokens"] == _ref_tokens(params, p, 6)
+
+
+def test_streaming_matches_non_streaming(server, params):
+    p = _prompt(1)
+    code, lines = _post(server, {"prompt": p, "max_tokens": 6,
+                                 "stream": True}, stream=True)
+    assert code == 200
+    toks = [t for l in lines if "tokens" in l and not l.get("done")
+            for t in l["tokens"]]
+    final = lines[-1]
+    assert final.get("done") is True
+    assert toks == final["tokens"] == _ref_tokens(params, p, 6)
+
+
+def test_concurrent_requests_batch(server, params):
+    prompts = [_prompt(i, lp=4 + i) for i in range(4)]  # > max_batch: queues
+    results = {}
+
+    def go(i):
+        _, body = _post(server, {"prompt": prompts[i], "max_tokens": 5})
+        results[i] = body["tokens"]
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join(timeout=120) for t in threads]
+    assert len(results) == 4
+    for i, p in enumerate(prompts):
+        assert results[i] == _ref_tokens(params, p, 5), i
+
+
+def test_bad_payloads_do_not_wedge(server, params):
+    import urllib.error
+    for bad in ({"prompt": []}, {"prompt": "text needs tokenizer"},
+                {"no_prompt": 1}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, bad)
+        assert e.value.code == 400
+    # the dispatcher must still serve real requests afterwards
+    p = _prompt(2)
+    code, body = _post(server, {"prompt": p, "max_tokens": 4})
+    assert code == 200 and body["tokens"] == _ref_tokens(params, p, 4)
+
+
+def test_eos_id_respected(server, params):
+    p = _prompt(3)
+    ref = _ref_tokens(params, p, 8)
+    eos = ref[2]  # force an early stop at the 3rd token
+    code, body = _post(server, {"prompt": p, "max_tokens": 8, "eos_id": eos})
+    assert code == 200
+    assert body["tokens"] == ref[:3]
+
+
+def test_tokenizer_text_roundtrip(params):
+    class ToyTok:
+        def encode(self, s):
+            return [4 + (ord(c) % 90) for c in s]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=2, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    srv = ServeServer(eng, port=0, tokenizer=ToyTok()).start()
+    try:
+        code, body = _post(srv, {"prompt": "hi jax", "max_tokens": 4})
+        assert code == 200
+        assert body["text"] == " ".join(str(t) for t in body["tokens"])
+        ref = _ref_tokens(params, ToyTok().encode("hi jax"), 4)
+        assert body["tokens"] == ref
+    finally:
+        srv.stop()
