@@ -411,7 +411,7 @@ class ServeEngine:
                  kosmos_cfg: Optional[KosmosConfig] = None,
                  rng: Optional[jax.Array] = None,
                  draft_params=None, draft_cfg: Optional[MagnetoConfig] = None,
-                 interpret: bool = False):
+                 interpret: bool = False, mesh=None):
         self.cfg = cfg
         self.kcfg = kosmos_cfg
         self.params = params
@@ -423,7 +423,15 @@ class ServeEngine:
             if kosmos_cfg is not None else False
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         b = self.scfg.max_batch
-        self.caches = dec.init_cache(cfg, batch=b, max_len=self.scfg.max_len)
+        # Multi-chip serving: pass params sharded over a (tensor-parallel)
+        # mesh and the mesh itself; the KV-cache pool then shards its heads
+        # dim over the `tensor` axis so decode attention runs fully
+        # tensor-parallel (GSPMD propagates the param shardings through
+        # every engine jit — greedy outputs are identical to single-device,
+        # tests/test_serve.py::test_engine_tensor_parallel_params).
+        self.mesh = mesh
+        self.caches = self._shard_cache(
+            dec.init_cache(cfg, batch=b, max_len=self.scfg.max_len))
         self.index = jnp.zeros((b,), jnp.int32)
         self.last = jnp.full((b,), self.scfg.pad_id, jnp.int32)
         self.slots: List[Optional[Request]] = [None] * b
@@ -447,8 +455,8 @@ class ServeEngine:
                 raise NotImplementedError(
                     "speculative serving supports greedy or plain "
                     "temperature sampling")
-            self.draft_caches = dec.init_cache(draft_cfg, batch=b,
-                                               max_len=self.scfg.max_len)
+            self.draft_caches = self._shard_cache(
+                dec.init_cache(draft_cfg, batch=b, max_len=self.scfg.max_len))
             # the draft's own cache index: equals the target's for text
             # slots; lags by n_images*image_embed_len for multimodal slots
             # (the text-only draft proposes from tokens alone; the target's
@@ -516,6 +524,26 @@ class ServeEngine:
     def _fold(self):
         self.rng, sub = jax.random.split(self.rng)
         return sub
+
+    def _shard_cache(self, caches):
+        """Shard the pooled KV cache's heads dim over the mesh's `tensor`
+        axis (cache leaves are (B, H, S, D) or stacked (L, B, H, S, D|1);
+        heads = ndim-3). Leaves whose head count doesn't divide the axis
+        stay replicated. No-op without a mesh."""
+        if self.mesh is None:
+            return caches
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tp = int(self.mesh.shape.get("tensor", 1))
+
+        def put(x):
+            nd = getattr(x, "ndim", 0)
+            h = nd - 3
+            spec = [None] * nd
+            if tp > 1 and nd >= 4 and x.shape[h] % tp == 0:
+                spec[h] = "tensor"
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+        return jax.tree_util.tree_map(put, caches)
 
     def _admit(self, slot: int, req: Request):
         import numpy as np

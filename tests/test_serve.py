@@ -517,3 +517,31 @@ def test_engine_multimodal_speculative_matches_plain(devices, lag):
 
     base = run(False)
     assert run(True) == base
+
+
+def test_engine_tensor_parallel_params(devices):
+    """Multi-chip serving: params sharded over a (fsdp=2, tensor=4) mesh +
+    engine mesh arg -> greedy tokens identical to the unsharded engine and
+    the KV-cache pool physically sharded over the tensor axis (heads dim)."""
+    from kosmosx_tpu.parallel.mesh import make_mesh
+    from kosmosx_tpu.parallel.sharding import shard_params
+
+    cfg = dataclasses.replace(CFG, vocab_size=96)  # embed divisible by fsdp
+    params = dec.init_decoder(jax.random.PRNGKey(0), cfg)
+    prompts = [[5, 7, 11, 13], [21, 22], [40, 41, 42, 43, 44]]
+
+    def run(p, mesh=None):
+        eng = ServeEngine(p, cfg,
+                          ServeConfig(max_batch=2, max_prompt_len=16,
+                                      max_len=48),
+                          SamplingConfig(greedy=True), mesh=mesh)
+        if mesh is not None:
+            shard = eng.caches["k"].sharding.shard_shape(eng.caches["k"].shape)
+            assert shard[2] == cfg.heads // 4, shard  # heads over tensor=4
+        hs = [eng.submit(pr, max_new_tokens=6) for pr in prompts]
+        eng.run()
+        return [h.tokens for h in hs]
+
+    ref = run(params)
+    mesh = make_mesh(data=1, fsdp=2, tensor=4)
+    assert run(shard_params(params, mesh), mesh=mesh) == ref
