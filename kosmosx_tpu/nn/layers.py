@@ -78,11 +78,15 @@ def linear(params, x, *, dtype=None):
     "scale": (1, out)}`` (see utils/quantize_w8), the int8 codes are read
     from HBM (half the bytes — decode is weight-read bound) and converted
     on the fly; the per-output-channel scale commutes out of the
-    contraction, so ``(x @ q) * scale`` is exact algebra."""
+    contraction, so ``(x @ q) * scale`` is exact algebra.
+
+    LoRA: when ``params["lora"] = {"a": (in, r), "b": (r, out), "scale"}``
+    is present (train/lora.py), ``scale * (x @ a) @ b`` is added — two thin
+    matmuls XLA fuses into the epilogue; composes with W8 bases (QLoRA)."""
     w = params["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
     if isinstance(w, dict) and "q" in w:
-        if dtype is not None:
-            x = x.astype(dtype)
         if "layer" in w:
             # stacked (L, K, N) codes + scan layer index (nn/decoder.py pulls
             # W8 leaves out of the scan xs so the slice is never materialized)
@@ -103,9 +107,13 @@ def linear(params, x, *, dtype=None):
             y = (x @ q) * w["scale"].astype(q.dtype)
     else:
         if dtype is not None:
-            x = x.astype(dtype)
             w = w.astype(dtype)
         y = x @ w
+    if "lora" in params:
+        l = params["lora"]
+        a = l["a"].astype(x.dtype)
+        b = l["b"].astype(x.dtype)
+        y = y + ((x @ a) @ b) * l["scale"].astype(x.dtype)
     if "b" in params:
         b = params["b"]
         if dtype is not None:

@@ -66,6 +66,11 @@ def _spec_for(names: Tuple, leaf) -> P:
     if parent == "router":
         return P("fsdp", None)
 
+    # LoRA factors (train/lora.py): rank-sized, replicate — sharding a
+    # (d, r<=64) matmul over the mesh costs more in collectives than it saves
+    if "lora" in strs:
+        return P()
+
     # embeddings: (vocab/positions, model_dim) — vocab over fsdp, model dim
     # over tensor (matches the out-projection orientation below)
     if last == "table":

@@ -51,6 +51,24 @@ def latest_checkpoint(output_dir: str) -> Optional[Tuple[str, int]]:
     return best
 
 
+def save_params(params: Any, path: str) -> str:
+    """Save a params-only consolidated checkpoint — the reference's
+    ``final_model.pt`` equivalent (/root/reference/train.py:688-695)."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    logger.info("saved params %s", path)
+    return path
+
+
+def restore_params(path: str, target: Any) -> Any:
+    """Restore a params-only checkpoint (see :func:`save_params`) into the
+    structure/shardings of ``target``."""
+    return restore_checkpoint(path, target)
+
+
 def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore into the structure/shardings of ``target`` (an abstract or
     concrete state pytree)."""

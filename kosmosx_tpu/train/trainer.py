@@ -58,6 +58,10 @@ class TrainConfig:
     log_every: int = 100
     output_dir: str = "checkpoints/"
     resume: bool = False
+    # final consolidated params save to {output_dir}/final at end of run
+    # (reference train.py:688-695 final_model.pt); off by default so library
+    # callers don't write to disk unasked — the CLI turns it on
+    final_save: bool = False
     # mesh
     data: int = -1
     fsdp: int = 1
@@ -285,7 +289,14 @@ class Trainer:
                                 json.dumps({k: round(v, 5) for k, v in m.items()}))
             if cfg.checkpoint_every and step_no % cfg.checkpoint_every == 0:
                 ckpt.save_checkpoint(self.state, cfg.output_dir, step_no)
+        if cfg.final_save:
+            ckpt.save_params(self.final_params(),
+                             os.path.join(cfg.output_dir, "final"))
         return self.state, metrics
+
+    def final_params(self):
+        """Params to persist in the final consolidated save."""
+        return self.state["params"]
 
 
 def _get_by_path(tree, path):

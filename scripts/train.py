@@ -77,6 +77,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--output-dir", default="checkpoints/")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-final-save", action="store_true",
+                   help="skip the final consolidated params save to "
+                        "{output-dir}/final (ref train.py:688-695)")
+    # LoRA fine-tuning (train/lora.py)
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="train low-rank adapters instead of full params")
+    p.add_argument("--lora-alpha", type=float, default=None)
+    p.add_argument("--lora-targets", default="q,k,v,out,fc1,fc2",
+                   help="comma-separated linear names to adapt")
+    p.add_argument("--init-checkpoint", default=None,
+                   help="params-only checkpoint dir to start from (a prior "
+                        "run's {output-dir}/final)")
     # mesh
     p.add_argument("--data", type=int, default=-1)
     p.add_argument("--fsdp", type=int, default=1)
@@ -138,6 +150,7 @@ def main(argv=None):
         total_steps=args.steps, warmup_steps=args.warmup_steps,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         output_dir=args.output_dir, resume=args.resume,
+        final_save=not args.no_final_save,
         data=args.data, fsdp=args.fsdp, tensor=args.tensor,
         expert=args.expert)
 
@@ -198,7 +211,34 @@ def main(argv=None):
             raise SystemExit("kosmos training needs --synthetic or "
                              "--dataset-dir (captions.jsonl + images)")
 
-    trainer = Trainer(init_fn=init_fn, loss_fn=loss_fn, cfg=tcfg)
+    base_params = None
+    if args.init_checkpoint:
+        import jax
+
+        from kosmosx_tpu.train import checkpoint as ckpt
+
+        abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+        base_params = ckpt.restore_params(args.init_checkpoint, abstract)
+
+    if args.lora_rank > 0:
+        from kosmosx_tpu.train.lora import LoraTrainer
+
+        trainer = LoraTrainer(
+            init_fn=init_fn, loss_fn=loss_fn, cfg=tcfg, rank=args.lora_rank,
+            alpha=args.lora_alpha,
+            targets=tuple(t for t in args.lora_targets.split(",") if t),
+            base_params=base_params)
+    else:
+        trainer = Trainer(init_fn=init_fn, loss_fn=loss_fn, cfg=tcfg)
+        if base_params is not None:
+            # warm-start full training: opt-state moments are zero-init and
+            # shape-only, so swapping param values in place is sound
+            import jax
+
+            trainer.init_state()
+            trainer.state["params"] = jax.tree_util.tree_map(
+                jax.device_put, base_params,
+                trainer.state_shardings["params"])
     log_fn = MetricsLogger(jsonl_path=args.metrics_jsonl,
                            use_wandb=args.wandb,
                            config=vars(args)) if (args.metrics_jsonl or
