@@ -50,7 +50,14 @@ def main(argv=None):
     ap.add_argument("--multimodal", action="store_true",
                     help="image+text requests through the full Kosmos "
                          "flagship (CLIP + resampler at admission)")
+    ap.add_argument("--prefix-len", type=int, default=0,
+                    help="register a shared prefix of this many tokens; "
+                         "every request's prompt starts with it, so "
+                         "admission prefills only prompt_len - prefix_len "
+                         "tokens (ServeEngine.register_prefix)")
     args = ap.parse_args(argv)
+    if args.prefix_len >= args.prompt_len:
+        raise SystemExit("--prefix-len must be < --prompt-len")
 
     import jax
     import jax.numpy as jnp
@@ -111,13 +118,20 @@ def main(argv=None):
 
     import numpy as np
     rng = np.random.RandomState(1)
+    shared_prefix = (rng.randint(4, cfg.vocab_size, size=args.prefix_len)
+                     .astype(np.int32) if args.prefix_len else None)
+    if shared_prefix is not None:
+        eng.register_prefix(shared_prefix)
 
     def mk_prompt(i):
         # host-side prompts: a list of DEVICE scalars here would cost one
         # tunnel RTT per token when the engine re-uploads them (measured
         # 3.4 s per 128-token admission)
-        return rng.randint(4, cfg.vocab_size,
-                           size=args.prompt_len).astype(np.int32)
+        p = rng.randint(4, cfg.vocab_size,
+                        size=args.prompt_len).astype(np.int32)
+        if shared_prefix is not None:
+            p[:args.prefix_len] = shared_prefix
+        return p
 
     def mk_images(i):
         if kcfg is None:
@@ -185,7 +199,8 @@ def main(argv=None):
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
                   f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''}"
-                  f"{f', decode_block={args.decode_block}' if args.decode_block else ''})",
+                  f"{f', decode_block={args.decode_block}' if args.decode_block else ''}"
+                  f"{f', prefix_len={args.prefix_len}' if args.prefix_len else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -97,6 +97,13 @@ class ServeConfig:
     # Bounds the admission stall to one chunk per step instead of one full
     # prompt.
     prefill_chunk: int = 0
+    # Prefix caching: max number of prefixes held by register_prefix()
+    # (LRU). A registered prefix's KV cache is computed once; any text
+    # request whose prompt starts with it is admitted by copying the cached
+    # K/V into its slot and prefilling only the remainder — the serving
+    # answer to shared system prompts / few-shot headers. Greedy outputs
+    # are identical to full prefill (same cache contents, same positions).
+    prefix_cache_size: int = 8
 
     @property
     def overrun_window(self) -> int:
@@ -464,6 +471,9 @@ class ServeEngine:
             self.index_d = jnp.zeros((b,), jnp.int32)
         self.accepted_total = 0   # speculative observability
         self.emitted_total = 0
+        # prefix caching (ServeConfig.prefix_cache_size, register_prefix)
+        self.prefix_cache: "OrderedDict[tuple, Any]" = OrderedDict()
+        self.prefix_hits = 0
         # blocked decode (ServeConfig.decode_block)
         self.block = max(int(self.scfg.decode_block), 0)
         # chunked prefill (ServeConfig.prefill_chunk)
@@ -519,6 +529,69 @@ class ServeEngine:
         self.pending.append(req)
         return req
 
+    def register_prefix(self, tokens) -> None:
+        """Prefill ``tokens`` once and cache the resulting K/V (LRU, at most
+        ``ServeConfig.prefix_cache_size`` entries). Subsequent text prompts
+        that start with these tokens are admitted by copying the cached
+        K/V into their slot and prefilling only the remainder — cutting the
+        admission prefill from O(prompt) to O(prompt - prefix).
+
+        TPU-native contrast with block-level automatic prefix caching
+        (vLLM): the pool keeps contiguous per-slot caches with static
+        shapes, so sharing is at explicit registered-prefix granularity —
+        one cache copy per registration, zero per-token bookkeeping."""
+        import numpy as np
+
+        if self.scfg.prefix_cache_size <= 0:
+            raise ValueError("ServeConfig.prefix_cache_size is 0")
+        toks = [int(t) for t in
+                np.asarray(jax.device_get(tokens), np.int64).ravel()]
+        if not toks:
+            raise ValueError("empty prefix")
+        if len(toks) >= self.scfg.max_prompt_len:
+            raise ValueError(
+                f"prefix len {len(toks)} must be < max_prompt_len "
+                f"{self.scfg.max_prompt_len} (a matching prompt needs at "
+                f"least one suffix token)")
+        key = tuple(toks)
+        if key in self.prefix_cache:
+            self.prefix_cache.move_to_end(key)
+            return
+        p = self.scfg.max_prompt_len
+        prompt = jnp.asarray(
+            np.pad(np.asarray(toks, np.int32), (0, p - len(toks)),
+                   constant_values=self.scfg.pad_id))[None, :]
+        length = jnp.asarray([len(toks)], jnp.int32)
+        # deterministic rng: the sampled token is discarded
+        _, c1 = _prefill_one_jit(
+            self.dec_params, prompt, length, jax.random.PRNGKey(0), self.cfg,
+            self.sampling, self.scfg.max_len, double_scale=self.double_scale,
+            interpret=self.interpret)
+        entry = {"caches": c1, "len": len(toks), "draft": None}
+        if self.spec:
+            _, cd1 = _prefill_one_jit(
+                self.draft_params, prompt, length, jax.random.PRNGKey(0),
+                self.draft_cfg, self.sampling, self.scfg.max_len,
+                interpret=self.interpret)
+            entry["draft"] = cd1
+        self.prefix_cache[key] = entry
+        while len(self.prefix_cache) > self.scfg.prefix_cache_size:
+            self.prefix_cache.popitem(last=False)
+
+    def _match_prefix(self, praw):
+        """Longest registered prefix that strictly prefixes ``praw``."""
+        best = None
+        for key in self.prefix_cache:
+            n = len(key)
+            if n < len(praw) and (best is None or n > best[1]) \
+                    and list(praw[:n]) == list(key):
+                best = (key, n)
+        if best is None:
+            return None
+        self.prefix_cache.move_to_end(best[0])
+        self.prefix_hits += 1
+        return self.prefix_cache[best[0]]
+
     # -- internals -----------------------------------------------------------
 
     def _fold(self):
@@ -552,6 +625,10 @@ class ServeEngine:
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
         s_idx = self.kcfg.splice_index if self.kcfg is not None else 0
+        # prefix cache: text-only prompts matching a registered prefix skip
+        # its prefill (the cached K/V is copied into the slot)
+        hit = (self._match_prefix(praw)
+               if self.prefix_cache and req.images is None else None)
         if self.chunked and (req.images is None or len(praw) > s_idx):
             # no full-prompt device work now: the text streams in
             # chunk-by-chunk via _advance_prefill, interleaved with other
@@ -571,10 +648,55 @@ class ServeEngine:
                 self.caches = _insert_slot_jit(self.caches, c1, slot)
                 self._pf_pos[slot] = s_idx
                 self.index = self.index.at[slot].set(idx0[0])
+            elif hit is not None:
+                # prefix hit: the chunk stream starts after the cached part
+                self.caches = _insert_slot_jit(self.caches, hit["caches"],
+                                               slot)
+                self._pf_pos[slot] = hit["len"]
+                self.index = self.index.at[slot].set(hit["len"])
             else:
                 self._pf_pos[slot] = 0
                 self.index = self.index.at[slot].set(0)
             self.slots[slot] = req
+            return
+        if hit is not None:
+            # plain-path prefix hit: copy the cached K/V into the slot, then
+            # prefill only the suffix through the pooled chunk program (one
+            # compile at K = max_prompt_len; in-flight slots are unaffected —
+            # their rows carry zero valid tokens and their index is fixed)
+            suffix = praw[hit["len"]:]
+            b = self.scfg.max_batch
+            self.caches = _insert_slot_jit(self.caches, hit["caches"], slot)
+            self.index = self.index.at[slot].set(hit["len"])
+            chunk = np.full((b, p), self.scfg.pad_id, np.int32)
+            chunk[slot, :len(suffix)] = suffix
+            seg = np.full((b, p), -1, np.int32)
+            seg[slot, :len(suffix)] = 0
+            boundary = np.zeros((b,), np.int32)
+            boundary[slot] = len(suffix) - 1
+            mask = np.zeros((b,), bool)
+            mask[slot] = True
+            first, self.caches, self.index = _prefill_chunk_pool_jit(
+                self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
+                self.caches, self.index, jnp.asarray(mask),
+                jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
+                double_scale=self.double_scale)
+            if self.spec:
+                self.draft_caches = _insert_slot_jit(self.draft_caches,
+                                                     hit["draft"], slot)
+                self.index_d = self.index_d.at[slot].set(hit["len"])
+                _, self.draft_caches, self.index_d = _prefill_chunk_pool_jit(
+                    self.draft_params, jnp.asarray(chunk), jnp.asarray(seg),
+                    self.draft_caches, self.index_d, jnp.asarray(mask),
+                    jnp.asarray(boundary), jax.random.PRNGKey(0),
+                    self.draft_cfg, self.sampling)
+            tok = int(first[slot])
+            self.last = self.last.at[slot].set(tok)
+            self.slots[slot] = req
+            req.tokens.append(tok)
+            self._dispatched[slot] = 1
+            self.emitted_total += 1
+            self._maybe_finish(slot, tok)
             return
         prompt = jnp.asarray(
             np.pad(praw, (0, p - len(praw)),

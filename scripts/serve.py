@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", action="append", default=None,
                    help="repeatable; falls back to --prompts-file or stdin")
     p.add_argument("--prompts-file", default=None)
+    p.add_argument("--system-prefix", default=None,
+                   help="shared system-prompt text: prepended to every "
+                        "prompt and its KV cache registered once "
+                        "(ServeEngine.register_prefix) so admissions "
+                        "prefill only the per-request remainder")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--eos-id", type=int, default=None)
     p.add_argument("--greedy", action="store_true", default=True)
@@ -138,6 +143,20 @@ def main(argv=None):
 
     tok = KosmosTokenizer()
 
+    prefix_ids = None
+    if args.system_prefix:
+        pids, _ = tok.tokenize_texts(args.system_prefix, modalities=())
+        prefix_ids = [int(t) for t in np.asarray(pids).reshape(-1)]
+
+    def _with_prefix(ids):
+        """Prepend the system prefix (dropping the prompt's duplicate BOS)."""
+        if prefix_ids is None:
+            return ids
+        ids = list(ids)
+        if ids and ids[0] == prefix_ids[0]:
+            ids = ids[1:]
+        return (prefix_ids + ids)[:args.max_prompt_len]
+
     if args.http is not None:
         scfg = ServeConfig(
             max_batch=args.slots, max_prompt_len=args.max_prompt_len,
@@ -152,13 +171,15 @@ def main(argv=None):
                     else SamplingConfig(greedy=False,
                                         temperature=args.temperature))
         eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
+        if prefix_ids:
+            eng.register_prefix(prefix_ids)
 
         class _Tok:  # adapt KosmosTokenizer to the server's encode/decode
             def encode(self, s):
                 ids, _ = tok.tokenize_texts(s, modalities=())
                 import numpy as _np
-                return [int(t) for t in
-                        _np.asarray(ids).reshape(-1)[:args.max_prompt_len]]
+                ids = [int(t) for t in _np.asarray(ids).reshape(-1)]
+                return _with_prefix(ids)[:args.max_prompt_len]
 
             def decode(self, ids):
                 return tok.decode(ids)
@@ -190,8 +211,8 @@ def main(argv=None):
     prompts = []
     for t in texts:
         ids, _ = tok.tokenize_texts(t, modalities=())
-        prompts.append(np.asarray(ids, np.int32).reshape(-1)
-                       [:args.max_prompt_len])
+        ids = _with_prefix([int(x) for x in np.asarray(ids).reshape(-1)])
+        prompts.append(np.asarray(ids, np.int32)[:args.max_prompt_len])
 
     scfg = ServeConfig(
         max_batch=args.slots, max_prompt_len=args.max_prompt_len,
@@ -206,6 +227,8 @@ def main(argv=None):
                 else SamplingConfig(greedy=False,
                                     temperature=args.temperature))
     eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
+    if prefix_ids:
+        eng.register_prefix(prefix_ids)
 
     images = []
     for i in range(len(prompts)):
