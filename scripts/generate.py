@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--beam-size", type=int, default=0,
+                   help="beam-search decoding with this many beams "
+                        "(text-only; overrides sampling flags)")
+    p.add_argument("--length-penalty", type=float, default=1.0)
+    p.add_argument("--eos-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--w8", action="store_true",
                    help="weight-only int8 inference (~half the HBM reads "
@@ -90,7 +95,18 @@ def main(argv=None):
             from kosmosx_tpu.utils.quantize import quantize_params_w8
             params = jax.jit(quantize_params_w8)(params)
         ids, _ = tok.tokenize_texts(args.prompt, modalities=())
-        out = generate_text(params, dcfg, jnp.asarray(ids), scfg)
+        if args.beam_size > 0:
+            from kosmosx_tpu.generate import beam_search
+
+            toks, norm, _ = beam_search(
+                params, dcfg, jnp.asarray(ids), beam_size=args.beam_size,
+                max_new_tokens=args.max_new_tokens,
+                length_penalty=args.length_penalty, eos_id=args.eos_id)
+            print(f"# best beam score {float(norm[0, 0]):.4f}",
+                  file=sys.stderr)
+            out = toks[:, 0]
+        else:
+            out = generate_text(params, dcfg, jnp.asarray(ids), scfg)
     else:
         from kosmosx_tpu.models.kosmos import Kosmos
 
