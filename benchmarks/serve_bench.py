@@ -55,6 +55,11 @@ def main(argv=None):
                          "every request's prompt starts with it, so "
                          "admission prefills only prompt_len - prefix_len "
                          "tokens (ServeEngine.register_prefix)")
+    ap.add_argument("--share-prefix", action="store_true",
+                    help="with --prefix-len: shared-prefix ATTENTION "
+                         "(share=True) — one broadcast KV segment, no "
+                         "per-slot prefix copies, per-slot cache sized for "
+                         "the remainder only")
     args = ap.parse_args(argv)
     if args.prefix_len >= args.prompt_len:
         raise SystemExit("--prefix-len must be < --prompt-len")
@@ -102,7 +107,10 @@ def main(argv=None):
     window_cfg = ServeConfig(sync_lag=args.sync_lag,
                              spec_gamma=args.spec_gamma,
                              decode_block=args.decode_block)
-    max_len = (args.prompt_len + extra + args.new_tokens
+    # shared-prefix attention keeps the prefix OUT of per-slot caches
+    own_prompt = (args.prompt_len - args.prefix_len
+                  if args.share_prefix else args.prompt_len)
+    max_len = (own_prompt + extra + args.new_tokens
                + window_cfg.overrun_window)
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=args.slots,
@@ -121,7 +129,7 @@ def main(argv=None):
     shared_prefix = (rng.randint(4, cfg.vocab_size, size=args.prefix_len)
                      .astype(np.int32) if args.prefix_len else None)
     if shared_prefix is not None:
-        eng.register_prefix(shared_prefix)
+        eng.register_prefix(shared_prefix, share=args.share_prefix)
 
     def mk_prompt(i):
         # host-side prompts: a list of DEVICE scalars here would cost one
@@ -200,7 +208,8 @@ def main(argv=None):
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
                   f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''}"
                   f"{f', decode_block={args.decode_block}' if args.decode_block else ''}"
-                  f"{f', prefix_len={args.prefix_len}' if args.prefix_len else ''})",
+                  f"{f', prefix_len={args.prefix_len}' if args.prefix_len else ''}"
+                  f"{', SHARED-prefix attention' if args.share_prefix else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),

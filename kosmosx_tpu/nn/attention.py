@@ -85,7 +85,8 @@ def _quantize_kv(x):
 def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
                    attn_dropout: float, rng, segment_q=None, segment_kv=None,
                    q_offset: Optional[jax.Array] = None,
-                   k_scale=None, v_scale=None):
+                   k_scale=None, v_scale=None,
+                   shared_k=None, shared_v=None, shared_on=None):
     """(B,H,Lq,hd) attention in fp32 softmax. ``kv_len`` masks cache positions
     >= kv_len (decode path); ``segment_*`` mask cross-segment attention;
     ``q_offset`` (B,) gives the absolute position of q[:, 0] for causal
@@ -95,7 +96,16 @@ def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
     int8 KV cache. The int8->compute-dtype convert rides the matmul operand
     (XLA fuses it — same pattern as the W8 weight path, BASELINE.md) and the
     scales apply to the score columns / the probability rows, so the
-    dequantized cache is never materialized in HBM."""
+    dequantized cache is never materialized in HBM.
+
+    ``shared_k``/``shared_v`` (1,H,P,hd): a prefix KV segment shared by the
+    whole batch WITHOUT per-row copies (one broadcast matmul operand —
+    RelayAttention-style serving of a common system prompt). It occupies
+    absolute positions [0, P) BEFORE the per-row cache, is always fully
+    visible to every query, and is gated per row by ``shared_on`` (B,) —
+    rows not using the shared segment mask its columns out. The softmax
+    runs ONCE over the concatenated [shared | own] scores (exact algebra,
+    not an approximation)."""
     lq, lk = q.shape[-2], k.shape[-2]
     if k_scale is not None:
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k.astype(q.dtype),
@@ -124,15 +134,31 @@ def _jnp_attention(q, k, v, *, causal: bool, kv_len: Optional[jax.Array],
         mask = seg if mask is None else mask & seg
     if mask is not None:
         s = jnp.where(mask, s, neg)
+    if shared_k is not None:
+        # scores over the shared segment: broadcast (1,H,P,hd) keys against
+        # every row's queries — no per-row materialization of the prefix
+        ss = jnp.einsum("bhqd,zhkd->bhqk", q, shared_k,
+                        preferred_element_type=jnp.float32)
+        if shared_on is not None:
+            ss = jnp.where(shared_on[:, None, None, None], ss, neg)
+        s = jnp.concatenate([ss, s], axis=-1)
     p = jax.nn.softmax(s, axis=-1)
     if rng is not None and attn_dropout > 0.0:
         p = layers.dropout(p, attn_dropout, rng)
+    if shared_k is not None:
+        ps, p = p[..., :shared_k.shape[-2]], p[..., shared_k.shape[-2]:]
+        o_shared = jnp.einsum("bhqk,zhkd->bhqd", ps.astype(shared_v.dtype),
+                              shared_v)
+    else:
+        o_shared = None
     if v_scale is not None:
         # fold the column scales into p, keep v as int8 matmul operand
         p = p * jnp.swapaxes(v_scale, -1, -2)
-        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype),
-                          v.astype(q.dtype))
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype),
+                       v.astype(q.dtype))
+    else:
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return o if o_shared is None else o + o_shared.astype(o.dtype)
 
 
 def _gathered_sp_attention(q, k, v, axis_name, *, shard, n_shards, zigzag,
@@ -185,6 +211,9 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                    cache: Optional[Dict[str, jax.Array]] = None,
                    cache_index: Optional[jax.Array] = None,
                    prefill: bool = False,
+                   shared_kv: Optional[Dict[str, jax.Array]] = None,
+                   shared_on: Optional[jax.Array] = None,
+                   pos_offset: Optional[jax.Array] = None,
                    dtype=None,
                    interpret: bool = False,
                    sequence_axis: Optional[str] = None,
@@ -199,6 +228,12 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
 
     xPos under caching uses absolute-position offsets with a *fixed* center 0
     so cached keys stay valid across steps (see nn/xpos.py).
+
+    Shared-prefix serving: ``shared_kv = {"k","v"} (1,H,P,hd)`` is a prefix
+    KV segment at absolute positions [0, P) attended by every row whose
+    ``shared_on`` flag is set, WITHOUT per-row cache copies; the row's own
+    cache then holds positions P..: ``pos_offset`` (B,) carries the P shift
+    so xPos rotations stay absolute while cache writes stay local.
     """
     b, l, d = x.shape
     hd = d // heads
@@ -300,10 +335,12 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
         if idx.ndim == 0:
             idx = jnp.broadcast_to(idx, (b,))
         if xpos:
-            # offset = number of cached tokens; fixed center=0 across steps
-            q = apply_xpos(q, offset=idx, scale_base=xpos_scale_base,
+            # offset = ABSOLUTE position of the new tokens (cache index plus
+            # any shared-prefix shift); fixed center=0 across steps
+            rot = idx if pos_offset is None else idx + pos_offset
+            q = apply_xpos(q, offset=rot, scale_base=xpos_scale_base,
                            downscale=False, center=0)
-            k = apply_xpos(k, offset=idx, scale_base=xpos_scale_base,
+            k = apply_xpos(k, offset=rot, scale_base=xpos_scale_base,
                            downscale=True, center=0)
         # zero out invalid (padded) chunk positions before the additive
         # scatter — cache slots must stay exactly-once-written
@@ -340,7 +377,8 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
             v_cache = cache["v"].at[b_idx, :, pos, :].set(jnp.swapaxes(v, 1, 2))
             new_cache = {"k": k_cache, "v": v_cache}
         kv_len = idx + l
-        if prefill and use_flash and l >= _FLASH_MIN_LEN:
+        if prefill and use_flash and l >= _FLASH_MIN_LEN \
+                and shared_kv is None:
             # prefill writes at index 0 (caller's contract): attention over
             # the cache == causal attention over the chunk itself, so the
             # Pallas kernel runs instead of materializing fp32 (L, Lmax)
@@ -358,7 +396,12 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                                k_scale=(new_cache["k_scale"] if quant_cache
                                         else None),
                                v_scale=(new_cache["v_scale"] if quant_cache
-                                        else None))
+                                        else None),
+                               shared_k=(shared_kv["k"].astype(q.dtype)
+                                         if shared_kv is not None else None),
+                               shared_v=(shared_kv["v"]
+                                         if shared_kv is not None else None),
+                               shared_on=shared_on)
         o = o.astype(x.dtype)
 
     o = _merge_heads(o)

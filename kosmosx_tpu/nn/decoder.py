@@ -143,6 +143,9 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
                   cache: Optional[Dict[str, jax.Array]] = None,
                   cache_index: Optional[jax.Array] = None,
                   prefill: bool = False,
+                  shared_kv: Optional[Dict[str, jax.Array]] = None,
+                  shared_on: Optional[jax.Array] = None,
+                  pos_offset: Optional[jax.Array] = None,
                   interpret: bool = False):
     dtype = cfg.dtype
     rngs = list(jax.random.split(rng, 3)) if rng is not None else [None, None, None]
@@ -157,7 +160,8 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         flash_block_q=cfg.flash_block_q, flash_block_kv=cfg.flash_block_kv,
         segment_ids=segment_ids, attn_dropout=cfg.attention_dropout,
         rng=rngs[0], cache=cache, cache_index=cache_index,
-        prefill=prefill, dtype=dtype, interpret=interpret,
+        prefill=prefill, shared_kv=shared_kv, shared_on=shared_on,
+        pos_offset=pos_offset, dtype=dtype, interpret=interpret,
         sequence_axis=cfg.sequence_axis,
         sequence_schedule=cfg.sequence_schedule)
     if rngs[1] is not None and cfg.dropout > 0.0:
@@ -297,16 +301,26 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                caches: Optional[Any] = None,
                cache_index: Optional[jax.Array] = None,
                prefill: bool = False,
+               shared_caches: Optional[Any] = None,
+               shared_on: Optional[jax.Array] = None,
+               pos_offset: Optional[jax.Array] = None,
                interpret: bool = False,
                with_aux: bool = False):
     """Run the layer stack + final LN. Returns (hidden, new_caches), or
     (hidden, new_caches, aux) when ``with_aux=True`` — ``aux`` is the summed
-    fp32 MoE routing loss across layers (0 for dense models)."""
+    fp32 MoE routing loss across layers (0 for dense models).
 
-    def one_layer(lp, xx, lrng, lcache):
+    ``shared_caches``: read-only per-layer prefix KV (same layout as
+    ``caches`` at batch 1) attended by rows flagged in ``shared_on`` without
+    per-row copies; ``pos_offset`` (B,) shifts xPos/positions by the shared
+    length (see nn/attention.py shared-prefix serving)."""
+
+    def one_layer(lp, xx, lrng, lcache, lshared=None):
         return decoder_layer(lp, xx, cfg, split=split, segment_ids=segment_ids,
                              rng=lrng, cache=lcache, cache_index=cache_index,
-                             prefill=prefill, interpret=interpret)
+                             prefill=prefill, shared_kv=lshared,
+                             shared_on=shared_on, pos_offset=pos_offset,
+                             interpret=interpret)
 
     if cfg.remat:
         policies = {
@@ -363,7 +377,13 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                     lambda c: jax.lax.dynamic_index_in_dim(c, li, 0,
                                                            keepdims=False),
                     cache_all)
-                y, ncache, laux = one_layer(lp, xx, lrng, lcache)
+                lshared = None
+                if shared_caches is not None:
+                    # read-only: closed over, not carried (never updated)
+                    lshared = jax.tree_util.tree_map(
+                        lambda c: jax.lax.dynamic_index_in_dim(
+                            c, li, 0, keepdims=False), shared_caches)
+                y, ncache, laux = one_layer(lp, xx, lrng, lcache, lshared)
                 cache_all = jax.tree_util.tree_map(
                     lambda c, n: jax.lax.dynamic_update_index_in_dim(
                         c, n, li, 0),
@@ -381,7 +401,8 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
         aux = jnp.zeros([], jnp.float32)
         for i, lp in enumerate(params["layers"]):
             lcache = caches[i] if caches is not None else None
-            x, ncache, laux = one_layer(lp, x, rngs[i], lcache)
+            lshared = shared_caches[i] if shared_caches is not None else None
+            x, ncache, laux = one_layer(lp, x, rngs[i], lcache, lshared)
             aux = aux + laux
             if caches is not None:
                 new_caches.append(ncache)

@@ -228,6 +228,26 @@ def _prefill_mm_prefix_jit(params, prefix, images, kcfg: KosmosConfig,
     return caches, length
 
 
+def _trim_shared(caches_one, length: int, dtype):
+    """Batch-1 caches -> read-only shared segment: trim the positions axis
+    to the prefix length and dequantize int8 storage (the segment is tiny
+    and read every step by every slot — bf16 is the right format)."""
+
+    def trim(x):
+        return x[..., :length, :]
+
+    def conv(tree):
+        if isinstance(tree, dict) and "k_scale" in tree:
+            k = (tree["k"].astype(jnp.float32) * tree["k_scale"])
+            v = (tree["v"].astype(jnp.float32) * tree["v_scale"])
+            return {"k": trim(k.astype(dtype)), "v": trim(v.astype(dtype))}
+        if isinstance(tree, dict):
+            return {"k": trim(tree["k"]), "v": trim(tree["v"])}
+        return [conv(t) for t in tree]
+
+    return jax.jit(conv)(caches_one)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _insert_slot_jit(caches, caches_one, slot):
     """Write a batch-1 cache into slot ``slot`` of the pooled cache.
@@ -246,21 +266,31 @@ def _insert_slot_jit(caches, caches_one, slot):
 def _decode_core(params, last_tokens, caches, index, active, rng,
                  cfg: MagnetoConfig, scfg: SamplingConfig,
                  pad_id: int = 1, double_scale: bool = False,
-                 interpret: bool = False):
+                 shared=None, interpret: bool = False):
     """One decode step for every slot. Inactive slots still compute (static
-    shapes) but their index does not advance and their token is ignored."""
+    shapes) but their index does not advance and their token is ignored.
+
+    ``shared = (shared_caches, shared_on, pos_offset)``: the engine's
+    shared-prefix segment (see ServeEngine.register_prefix(share=True)) —
+    flagged slots attend it in place of per-slot prefix cache copies and
+    their positions shift by its length."""
     # inactive slots feed pad (their ``last`` may hold a stale sampled token
     # — the engine keeps ``last`` on device to avoid a host→device RTT/step)
     last_tokens = jnp.where(active, last_tokens, pad_id)
+    shared_caches, shared_on, pos_offset = shared or (None, None, None)
+    pos = index if pos_offset is None else index + pos_offset
     if double_scale:
         emb = dec.embed_only(params, cfg, last_tokens[:, None])
         x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
-                                     offset=index[:, None])
+                                     offset=pos[:, None])
     else:
         x, _ = dec.forward_embedding(params, cfg, last_tokens[:, None],
-                                     offset=index[:, None])
+                                     offset=pos[:, None])
     h, caches = dec.run_layers(params, x, cfg, caches=caches,
-                               cache_index=index, interpret=interpret)
+                               cache_index=index,
+                               shared_caches=shared_caches,
+                               shared_on=shared_on, pos_offset=pos_offset,
+                               interpret=interpret)
     logits = dec.output_logits(params, h, cfg)[:, 0]
     nxt = sample_logits(logits, rng, scfg)
     index = index + active.astype(index.dtype)
@@ -273,10 +303,10 @@ def _decode_core(params, last_tokens, caches, index, active, rng,
 def _decode_step_jit(params, last_tokens, caches, index, active, rng,
                      cfg: MagnetoConfig, scfg: SamplingConfig,
                      pad_id: int = 1, double_scale: bool = False,
-                     interpret: bool = False):
+                     shared=None, interpret: bool = False):
     return _decode_core(params, last_tokens, caches, index, active, rng,
                         cfg, scfg, pad_id=pad_id, double_scale=double_scale,
-                        interpret=interpret)
+                        shared=shared, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "block",
@@ -286,7 +316,7 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
 def _decode_block_jit(params, last_tokens, caches, index, active, rng,
                       cfg: MagnetoConfig, scfg: SamplingConfig, block: int,
                       pad_id: int = 1, double_scale: bool = False,
-                      interpret: bool = False):
+                      shared=None, interpret: bool = False):
     """``block`` decode steps for every slot in ONE dispatch (lax.scan over
     the single-step core, token feedback on device). Amortizes the per-step
     dispatch/link overhead — on the remote chip one dispatch costs ~3 ms on
@@ -296,7 +326,7 @@ def _decode_block_jit(params, last_tokens, caches, index, active, rng,
         nxt, caches, index = _decode_core(
             params, last, caches, index, active, jax.random.fold_in(rng, k),
             cfg, scfg, pad_id=pad_id, double_scale=double_scale,
-            interpret=interpret)
+            shared=shared, interpret=interpret)
         return (nxt, caches, index), nxt
 
     (last, caches, index), toks = jax.lax.scan(
@@ -367,7 +397,7 @@ def _spec_block_pool_jit(params, dparams, last_tokens, caches, dcaches,
 def _prefill_chunk_pool_jit(params, tokens, seg, caches, index, prefill_mask,
                             boundary, rng, cfg: MagnetoConfig,
                             scfg: SamplingConfig,
-                            double_scale: bool = False):
+                            double_scale: bool = False, shared=None):
     """Ingest one prompt chunk for every prefilling slot.
 
     tokens (B, K) — the next K prompt tokens per prefilling slot (pads
@@ -379,15 +409,19 @@ def _prefill_chunk_pool_jit(params, tokens, seg, caches, index, prefill_mask,
     valid tokens, index unchanged (their not-yet-reached cache positions
     get zeroed, which decode overwrites before ever attending to them).
     """
+    shared_caches, shared_on, pos_offset = shared or (None, None, None)
+    pos = index if pos_offset is None else index + pos_offset
     if double_scale:
         emb = dec.embed_only(params, cfg, tokens)
         x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
-                                     offset=index[:, None])
+                                     offset=pos[:, None])
     else:
         x, _ = dec.forward_embedding(params, cfg, tokens,
-                                     offset=index[:, None])
+                                     offset=pos[:, None])
     h, caches = dec.run_layers(params, x, cfg, caches=caches,
-                               cache_index=index, segment_ids=seg)
+                               cache_index=index, segment_ids=seg,
+                               shared_caches=shared_caches,
+                               shared_on=shared_on, pos_offset=pos_offset)
     # only the boundary position's logits are ever used: slice the hidden
     # state first so the vocab projection is (B, 1, D), not (B, K, D)
     hb = jnp.take_along_axis(
@@ -474,6 +508,11 @@ class ServeEngine:
         # prefix caching (ServeConfig.prefix_cache_size, register_prefix)
         self.prefix_cache: "OrderedDict[tuple, Any]" = OrderedDict()
         self.prefix_hits = 0
+        # shared-prefix attention (register_prefix(share=True)): ONE prefix
+        # KV segment attended by all flagged slots without per-slot copies
+        self.shared_seg = None
+        self.pos_offset = jnp.zeros((b,), jnp.int32)
+        self.shared_on = jnp.zeros((b,), bool)
         # blocked decode (ServeConfig.decode_block)
         self.block = max(int(self.scfg.decode_block), 0)
         # chunked prefill (ServeConfig.prefill_chunk)
@@ -515,31 +554,45 @@ class ServeEngine:
             extra = n_img * self.kcfg.image_embed_len
         # headroom: EOS detection lags, speculative rounds write gamma
         # positions past the committed index, and blocked decode writes
-        # whole blocks — ServeConfig.overrun_window bounds all of it
+        # whole blocks — ServeConfig.overrun_window bounds all of it.
+        # Prompts matching the SHARED prefix never store it in their own
+        # cache, so only the remainder counts against max_len.
         window = self.scfg.overrun_window
-        if (len(prompt) + extra + max_new_tokens + window
+        own_prompt = len(prompt)
+        if images is None and self._matches_shared(prompt):
+            own_prompt -= self.shared_seg["len"]
+        if (own_prompt + extra + max_new_tokens + window
                 > self.scfg.max_len):
             raise ValueError(
-                f"prompt ({len(prompt)}) + image embeds ({extra}) + "
-                f"max_new_tokens ({max_new_tokens}) exceeds cache length "
-                f"{self.scfg.max_len}")
+                f"prompt ({own_prompt} own-cache tokens) + image embeds "
+                f"({extra}) + max_new_tokens ({max_new_tokens}) exceeds "
+                f"cache length {self.scfg.max_len}")
         req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
                       eos_id=eos_id, images=images, id=self._next_id)
         self._next_id += 1
         self.pending.append(req)
         return req
 
-    def register_prefix(self, tokens) -> None:
+    def register_prefix(self, tokens, share: bool = False) -> None:
         """Prefill ``tokens`` once and cache the resulting K/V (LRU, at most
         ``ServeConfig.prefix_cache_size`` entries). Subsequent text prompts
         that start with these tokens are admitted by copying the cached
         K/V into their slot and prefilling only the remainder — cutting the
         admission prefill from O(prompt) to O(prompt - prefix).
 
+        ``share=True`` goes further (RelayAttention-style): the prefix K/V
+        becomes ONE broadcast segment attended by every matching slot — no
+        per-slot copy at all, so a P-token system prompt costs P cache
+        positions TOTAL instead of P per slot, and each slot's own cache
+        only needs (prompt - P) + new positions. One shared segment per
+        engine; registering replaces it (engine must be idle). Greedy
+        outputs are identical to full prefill either way (the softmax runs
+        over the exact concatenated [shared | own] scores).
+
         TPU-native contrast with block-level automatic prefix caching
         (vLLM): the pool keeps contiguous per-slot caches with static
         shapes, so sharing is at explicit registered-prefix granularity —
-        one cache copy per registration, zero per-token bookkeeping."""
+        zero per-token bookkeeping, no gathers."""
         import numpy as np
 
         if self.scfg.prefix_cache_size <= 0:
@@ -553,8 +606,17 @@ class ServeEngine:
                 f"prefix len {len(toks)} must be < max_prompt_len "
                 f"{self.scfg.max_prompt_len} (a matching prompt needs at "
                 f"least one suffix token)")
+        if share:
+            if self.spec:
+                raise NotImplementedError(
+                    "shared-prefix attention with a speculative draft is "
+                    "not implemented (the draft pool would need the shared "
+                    "segment too); use share=False prefix caching")
+            if self.num_active or self._inflight or self.pending:
+                raise ValueError("register_prefix(share=True) requires an "
+                                 "idle engine (it re-bases slot positions)")
         key = tuple(toks)
-        if key in self.prefix_cache:
+        if not share and key in self.prefix_cache:
             self.prefix_cache.move_to_end(key)
             return
         p = self.scfg.max_prompt_len
@@ -567,6 +629,11 @@ class ServeEngine:
             self.dec_params, prompt, length, jax.random.PRNGKey(0), self.cfg,
             self.sampling, self.scfg.max_len, double_scale=self.double_scale,
             interpret=self.interpret)
+        if share:
+            self.shared_seg = {"key": key, "len": len(toks),
+                               "caches": _trim_shared(c1, len(toks),
+                                                      self.cfg.dtype)}
+            return
         entry = {"caches": c1, "len": len(toks), "draft": None}
         if self.spec:
             _, cd1 = _prefill_one_jit(
@@ -577,6 +644,17 @@ class ServeEngine:
         self.prefix_cache[key] = entry
         while len(self.prefix_cache) > self.scfg.prefix_cache_size:
             self.prefix_cache.popitem(last=False)
+
+    def _shared(self):
+        """(shared_caches, shared_on, pos_offset) for the jitted cores."""
+        if self.shared_seg is None:
+            return None
+        return (self.shared_seg["caches"], self.shared_on, self.pos_offset)
+
+    def _matches_shared(self, toks) -> bool:
+        sh = self.shared_seg
+        return (sh is not None and len(toks) > sh["len"]
+                and [int(t) for t in toks[:sh["len"]]] == list(sh["key"]))
 
     def _match_prefix(self, praw):
         """Longest registered prefix that strictly prefixes ``praw``."""
@@ -625,10 +703,21 @@ class ServeEngine:
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
         s_idx = self.kcfg.splice_index if self.kcfg is not None else 0
+        # shared-prefix segment: matching slots attend it in place (no
+        # copy); their own cache starts at 0 with positions shifted by P
+        sh_match = req.images is None and self._matches_shared(praw)
+        if self.shared_seg is not None:
+            self.shared_on = self.shared_on.at[slot].set(bool(sh_match))
+            self.pos_offset = self.pos_offset.at[slot].set(
+                self.shared_seg["len"] if sh_match else 0)
+            if sh_match:
+                self.prefix_hits += 1
+                praw = praw[self.shared_seg["len"]:]  # own-cache remainder
         # prefix cache: text-only prompts matching a registered prefix skip
         # its prefill (the cached K/V is copied into the slot)
         hit = (self._match_prefix(praw)
-               if self.prefix_cache and req.images is None else None)
+               if self.prefix_cache and req.images is None and not sh_match
+               else None)
         if self.chunked and (req.images is None or len(praw) > s_idx):
             # no full-prompt device work now: the text streams in
             # chunk-by-chunk via _advance_prefill, interleaved with other
@@ -659,15 +748,22 @@ class ServeEngine:
                 self.index = self.index.at[slot].set(0)
             self.slots[slot] = req
             return
-        if hit is not None:
-            # plain-path prefix hit: copy the cached K/V into the slot, then
-            # prefill only the suffix through the pooled chunk program (one
-            # compile at K = max_prompt_len; in-flight slots are unaffected —
-            # their rows carry zero valid tokens and their index is fixed)
-            suffix = praw[hit["len"]:]
+        if hit is not None or sh_match:
+            # plain-path prefix hit: copy the cached K/V into the slot (copy
+            # mode) or rely on the broadcast shared segment (share mode),
+            # then prefill only the suffix through the pooled chunk program
+            # (one compile at K = max_prompt_len; in-flight slots are
+            # unaffected — their rows carry zero valid tokens and their
+            # index is fixed)
             b = self.scfg.max_batch
-            self.caches = _insert_slot_jit(self.caches, hit["caches"], slot)
-            self.index = self.index.at[slot].set(hit["len"])
+            if hit is not None:
+                suffix = praw[hit["len"]:]
+                self.caches = _insert_slot_jit(self.caches, hit["caches"],
+                                               slot)
+                self.index = self.index.at[slot].set(hit["len"])
+            else:
+                suffix = praw  # already trimmed to the own-cache remainder
+                self.index = self.index.at[slot].set(0)
             chunk = np.full((b, p), self.scfg.pad_id, np.int32)
             chunk[slot, :len(suffix)] = suffix
             seg = np.full((b, p), -1, np.int32)
@@ -680,7 +776,7 @@ class ServeEngine:
                 self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
                 self.caches, self.index, jnp.asarray(mask),
                 jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
-                double_scale=self.double_scale)
+                double_scale=self.double_scale, shared=self._shared())
             if self.spec:
                 self.draft_caches = _insert_slot_jit(self.draft_caches,
                                                      hit["draft"], slot)
@@ -791,7 +887,7 @@ class ServeEngine:
             self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
             self.caches, self.index, jnp.asarray(mask),
             jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
-            double_scale=self.double_scale)
+            double_scale=self.double_scale, shared=self._shared())
         if completing:
             toks = jax.device_get(first)
             for slot in completing:
@@ -864,7 +960,7 @@ class ServeEngine:
                     active, self._fold(), self.cfg, self.sampling,
                     self.block, pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
-                    interpret=self.interpret)
+                    shared=self._shared(), interpret=self.interpret)
                 n_emit = [self.block if a else 0 for a in active_list]
             else:
                 nxt, self.caches, self.index = _decode_step_jit(
@@ -872,7 +968,7 @@ class ServeEngine:
                     active, self._fold(), self.cfg, self.sampling,
                     pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
-                    interpret=self.interpret)
+                    shared=self._shared(), interpret=self.interpret)
                 # the decode feedback loop stays on DEVICE (last <- nxt):
                 # rebuilding ``last`` host-side would cost a host→device
                 # RTT per token on remote links (~25 ms on the axon

@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "prompt and its KV cache registered once "
                         "(ServeEngine.register_prefix) so admissions "
                         "prefill only the per-request remainder")
+    p.add_argument("--share-prefix", action="store_true",
+                   help="with --system-prefix: shared-prefix ATTENTION "
+                        "(one broadcast KV segment, no per-slot copies)")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--eos-id", type=int, default=None)
     p.add_argument("--greedy", action="store_true", default=True)
@@ -172,7 +175,7 @@ def main(argv=None):
                                         temperature=args.temperature))
         eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
         if prefix_ids:
-            eng.register_prefix(prefix_ids)
+            eng.register_prefix(prefix_ids, share=args.share_prefix)
 
         class _Tok:  # adapt KosmosTokenizer to the server's encode/decode
             def encode(self, s):
@@ -228,7 +231,7 @@ def main(argv=None):
                                     temperature=args.temperature))
     eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
     if prefix_ids:
-        eng.register_prefix(prefix_ids)
+        eng.register_prefix(prefix_ids, share=args.share_prefix)
 
     images = []
     for i in range(len(prompts)):

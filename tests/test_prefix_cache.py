@@ -149,6 +149,100 @@ def test_prefix_validation(params):
         eng0.register_prefix(PREFIX)
 
 
+@pytest.mark.parametrize("scfg", [
+    ServeConfig(max_batch=3, max_prompt_len=16, max_len=64),
+    ServeConfig(max_batch=3, max_prompt_len=16, max_len=64, sync_lag=2,
+                decode_block=2),
+    ServeConfig(max_batch=2, max_prompt_len=16, max_len=64, prefill_chunk=4),
+], ids=["plain", "lag_block", "chunked"])
+def test_shared_prefix_matches_full_prefill(params, scfg):
+    """register_prefix(share=True): matching slots attend ONE broadcast
+    segment (no per-slot copy); greedy outputs identical to full prefill,
+    including for non-matching prompts admitted into the same pool."""
+    prompts = _shared_prompts(4)
+    new = 6
+    refs = _refs(params, prompts, new)
+    eng = ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True))
+    eng.register_prefix(PREFIX, share=True)
+    handles = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    assert eng.prefix_hits == len(prompts) - 1
+    for p, h, ref in zip(prompts, handles, refs):
+        assert h.tokens == ref, f"prompt {p}: {h.tokens} vs {ref}"
+
+
+def test_shared_prefix_shrinks_cache_budget(params):
+    """The shared segment does not occupy per-slot cache: a max_len too
+    small for prompt+new (but big enough for remainder+new) must serve
+    matching prompts — the capacity win over copy-mode prefix caching."""
+    new = 6
+    prompt = PREFIX + [30, 31]          # 8 tokens; remainder = 2
+    small = ServeConfig(max_batch=2, max_prompt_len=16,
+                        max_len=2 + new)  # < len(prompt) + new
+    eng = ServeEngine(params, CFG, small, SamplingConfig(greedy=True))
+    eng.register_prefix(PREFIX, share=True)
+    ref = _refs(params, [prompt], new)[0]
+    h = eng.submit(prompt, max_new_tokens=new)
+    eng.run()
+    assert h.tokens == ref
+    # without the shared segment the same submit must be rejected
+    eng2 = ServeEngine(params, CFG, small, SamplingConfig(greedy=True))
+    with pytest.raises(ValueError, match="exceeds"):
+        eng2.submit(prompt, max_new_tokens=new)
+
+
+def test_shared_prefix_int8_kv(params):
+    """Shared segment (bf16, exact) over an int8 own-cache pool."""
+    cfg8 = dataclasses.replace(CFG, kv_cache_dtype="int8")
+    prompts = _shared_prompts(3)
+    new = 5
+    refs = _refs(params, prompts, new)
+    eng = ServeEngine(params, cfg8,
+                      ServeConfig(max_batch=2, max_prompt_len=16, max_len=64),
+                      SamplingConfig(greedy=True))
+    eng.register_prefix(PREFIX, share=True)
+    handles = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    for h, ref in zip(handles, refs):
+        assert h.tokens == ref
+
+
+def test_shared_prefix_guards(params):
+    scfg = ServeConfig(max_batch=2, max_prompt_len=16, max_len=64)
+    eng = ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True))
+    eng.submit(PREFIX + [3], max_new_tokens=4)
+    with pytest.raises(ValueError, match="idle"):
+        eng.register_prefix(PREFIX, share=True)
+    eng.run()
+    eng.register_prefix(PREFIX, share=True)  # idle now: ok
+
+    draft_cfg = dataclasses.replace(CFG, layers=1)
+    dparams = dec.init_decoder(jax.random.PRNGKey(3), draft_cfg)
+    spec = ServeEngine(params, CFG,
+                       dataclasses.replace(scfg, spec_gamma=2),
+                       SamplingConfig(greedy=True),
+                       draft_params=dparams, draft_cfg=draft_cfg)
+    with pytest.raises(NotImplementedError):
+        spec.register_prefix(PREFIX, share=True)
+
+
+def test_shared_and_copy_prefixes_compose(params):
+    """A shared segment and a different copy-mode prefix serve one pool."""
+    other = [9, 8, 7, 6]
+    scfg = ServeConfig(max_batch=2, max_prompt_len=16, max_len=64)
+    eng = ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True))
+    eng.register_prefix(PREFIX, share=True)
+    eng.register_prefix(other)           # copy mode
+    new = 5
+    prompts = [PREFIX + [33, 44], other + [12, 13], [50, 51, 52]]
+    refs = _refs(params, prompts, new)
+    handles = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    assert eng.prefix_hits == 2
+    for h, ref in zip(handles, refs):
+        assert h.tokens == ref
+
+
 def test_longest_prefix_wins(params):
     """With nested registered prefixes, the longest match is used."""
     scfg = ServeConfig(max_batch=2, max_prompt_len=16, max_len=64)
