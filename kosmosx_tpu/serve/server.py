@@ -208,6 +208,10 @@ class ServeServer:
                         "pending": len(eng.pending),
                         "max_batch": eng.scfg.max_batch,
                         "speculative": eng.spec,
+                        "prefix_hits": eng.prefix_hits,
+                        "registered_prefixes": len(eng.prefix_cache),
+                        "shared_prefix_len": (eng.shared_seg["len"]
+                                              if eng.shared_seg else 0),
                     })
                 return self._json(404, {"error": "not found"})
 
