@@ -41,31 +41,16 @@ def _gather_cache(caches, flat_parent):
         lambda x: jnp.take(x, flat_parent, axis=_beam_axis(x)), caches)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "beam", "new_tokens",
-                                             "max_len", "length_penalty",
-                                             "eos_id", "double_scale",
-                                             "interpret"))
-def _beam_search_jit(params, prompt, prompt_lengths, cfg: MagnetoConfig,
-                     beam: int, new_tokens: int, max_len: int,
-                     length_penalty: float = 1.0,
-                     eos_id: Optional[int] = None,
-                     double_scale: bool = False,
-                     interpret: bool = False):
-    b, lp = prompt.shape
+def _beam_from_logits(params, last_logits, caches, start_index,
+                      cfg: MagnetoConfig, beam: int, new_tokens: int,
+                      length_penalty: float, eos_id: Optional[int],
+                      double_scale: bool, interpret: bool):
+    """Beam scan from a finished prefill: ``last_logits`` (B, V) at the
+    prompt boundary, batch-B ``caches``, ``start_index`` (B,) = cached
+    length per row. Shared by the text and multimodal entry points."""
+    b = last_logits.shape[0]
     v = cfg.vocab_size
     neg = jnp.finfo(jnp.float32).min
-
-    # prefill once at batch B, then expand the cache to B*K beams
-    caches = dec.init_cache(cfg, batch=b, max_len=max_len)
-    seg = jnp.where(jnp.arange(lp)[None, :] < prompt_lengths[:, None], 0, -1
-                    ).astype(jnp.int32)
-    if double_scale:
-        emb = dec.embed_only(params, cfg, prompt)
-        x, _ = dec.forward_embedding(params, cfg, token_embedding=emb)
-    else:
-        x, _ = dec.forward_embedding(params, cfg, prompt)
-    last_logits, caches = _prefill(params, cfg, x, caches, prompt_lengths,
-                                   seg, interpret=interpret)
     caches = _repeat_cache(caches, beam)
 
     logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
@@ -76,7 +61,7 @@ def _beam_search_jit(params, prompt, prompt_lengths, cfg: MagnetoConfig,
     finished = (first == eos_id) if eos_id is not None else \
         jnp.zeros((b, beam), bool)
     gen_len = jnp.ones((b, beam), jnp.int32)
-    index = jnp.repeat(prompt_lengths, beam)              # (B*K,)
+    index = jnp.repeat(start_index, beam)                 # (B*K,)
     last = first
 
     # a frozen beam may only continue with EOS (cost 0) — one copy survives
@@ -133,6 +118,75 @@ def _beam_search_jit(params, prompt, prompt_lengths, cfg: MagnetoConfig,
     return tokens, norm, scores, gen_len
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "beam", "new_tokens",
+                                             "max_len", "length_penalty",
+                                             "eos_id", "double_scale",
+                                             "interpret"))
+def _beam_search_jit(params, prompt, prompt_lengths, cfg: MagnetoConfig,
+                     beam: int, new_tokens: int, max_len: int,
+                     length_penalty: float = 1.0,
+                     eos_id: Optional[int] = None,
+                     double_scale: bool = False,
+                     interpret: bool = False):
+    b, lp = prompt.shape
+
+    # prefill once at batch B, then expand the cache to B*K beams
+    caches = dec.init_cache(cfg, batch=b, max_len=max_len)
+    seg = jnp.where(jnp.arange(lp)[None, :] < prompt_lengths[:, None], 0, -1
+                    ).astype(jnp.int32)
+    if double_scale:
+        emb = dec.embed_only(params, cfg, prompt)
+        x, _ = dec.forward_embedding(params, cfg, token_embedding=emb)
+    else:
+        x, _ = dec.forward_embedding(params, cfg, prompt)
+    last_logits, caches = _prefill(params, cfg, x, caches, prompt_lengths,
+                                   seg, interpret=interpret)
+    return _beam_from_logits(params, last_logits, caches, prompt_lengths,
+                             cfg, beam, new_tokens, length_penalty, eos_id,
+                             double_scale, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("kcfg", "beam", "new_tokens",
+                                             "max_len", "length_penalty",
+                                             "eos_id"))
+def _beam_search_mm_jit(params, text_tokens, images, prompt_lengths,
+                        kcfg, beam: int, new_tokens: int, max_len: int,
+                        length_penalty: float = 1.0,
+                        eos_id: Optional[int] = None):
+    """Multimodal beam search: Kosmos prefill (vision tower + resampler +
+    splice, mirrors sampler._generate_mm_jit) then the shared beam scan —
+    decode embeds follow the parity double-scale convention."""
+    from kosmosx_tpu.data.splice import splice_embeddings
+    from kosmosx_tpu.models.kosmos import Kosmos
+    from kosmosx_tpu.nn import layers
+
+    dcfg = kcfg.decoder
+    b, lt = text_tokens.shape
+    img = Kosmos.encode_images(params, images, kcfg)
+    num_images = img.shape[1] if img.ndim == 4 else 1
+    text_emb = dec.embed_only(params["decoder"], dcfg, text_tokens)
+    spliced = splice_embeddings(text_emb, img, None, index=kcfg.splice_index)
+    if kcfg.parity_double_scale:
+        x, _ = dec.forward_embedding(params["decoder"], dcfg,
+                                     token_embedding=spliced)
+    else:
+        pos = layers.positional_embedding(
+            params["decoder"]["pos"], spliced.shape[1],
+            padding_idx=dcfg.padding_idx, dtype=dcfg.dtype)
+        x = spliced + pos
+    lp = spliced.shape[1]
+    full_lengths = prompt_lengths + num_images * kcfg.image_embed_len
+    seg = jnp.where(jnp.arange(lp)[None, :] < full_lengths[:, None], 0, -1
+                    ).astype(jnp.int32)
+    caches = dec.init_cache(dcfg, batch=b, max_len=max_len)
+    last_logits, caches = _prefill(params["decoder"], dcfg, x, caches,
+                                   full_lengths, seg)
+    return _beam_from_logits(params["decoder"], last_logits, caches,
+                             full_lengths, dcfg, beam, new_tokens,
+                             length_penalty, eos_id,
+                             kcfg.parity_double_scale, False)
+
+
 def beam_search(params, cfg: MagnetoConfig, prompt: jax.Array, *,
                 beam_size: int = 4, max_new_tokens: int = 32,
                 length_penalty: float = 1.0, eos_id: Optional[int] = None,
@@ -158,4 +212,33 @@ def beam_search(params, cfg: MagnetoConfig, prompt: jax.Array, *,
         params, prompt, prompt_lengths, cfg, beam_size, max_new_tokens,
         max_len, length_penalty=length_penalty, eos_id=eos_id,
         double_scale=double_scale, interpret=interpret)
+    return tokens, norm, scores
+
+
+def beam_search_multimodal(params, kcfg, text_tokens: jax.Array,
+                           images: jax.Array, *,
+                           beam_size: int = 4, max_new_tokens: int = 32,
+                           length_penalty: float = 1.0,
+                           eos_id: Optional[int] = None,
+                           prompt_lengths: Optional[jax.Array] = None
+                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Kosmos beam search: encode image(s) + text prompt once, then beam
+    decode. Same return contract as :func:`beam_search`."""
+    if beam_size < 1:
+        raise ValueError("beam_size must be >= 1")
+    b, lt = text_tokens.shape
+    if prompt_lengths is None:
+        prompt_lengths = jnp.full((b,), lt, jnp.int32)
+    num_images = images.shape[1] if images.ndim == 5 else 1
+    max_len = lt + num_images * kcfg.image_embed_len + max_new_tokens
+    if max_len > kcfg.decoder.max_target_positions:
+        raise ValueError(
+            f"text ({lt}) + image embeds "
+            f"({num_images * kcfg.image_embed_len}) + max_new_tokens "
+            f"({max_new_tokens}) = {max_len} exceeds the learned position "
+            f"table (max usable length {kcfg.decoder.max_target_positions})")
+    tokens, norm, scores, _ = _beam_search_mm_jit(
+        params, text_tokens, images, prompt_lengths, kcfg, beam_size,
+        max_new_tokens, max_len, length_penalty=length_penalty,
+        eos_id=eos_id)
     return tokens, norm, scores

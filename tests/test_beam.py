@@ -112,6 +112,39 @@ def test_batch_rows_independent(params):
                                    np.asarray(raw_i[0]), atol=1e-4)
 
 
+@pytest.mark.slow
+def test_multimodal_beam1_matches_greedy(params):
+    """Kosmos beam search at K=1 must equal greedy generate_multimodal
+    (same prefill, same double-scale decode convention)."""
+    from kosmosx_tpu.core.config import (KosmosConfig, ResamplerConfig,
+                                         VisionConfig)
+    from kosmosx_tpu.generate import beam_search_multimodal, \
+        generate_multimodal
+    from kosmosx_tpu.models.kosmos import Kosmos
+
+    kcfg = KosmosConfig(
+        decoder=CFG,
+        vision=VisionConfig(image_size=28, patch_size=14, hidden_dim=32,
+                            layers=1, heads=2, mlp_dim=64,
+                            use_flash_attention=False),
+        resampler=ResamplerConfig(dim=32, depth=1, dim_head=8, heads=4,
+                                  num_latents=8, num_media_embeds=5),
+        image_embed_len=8)
+    model = Kosmos(kcfg, seed=0)
+    toks = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 4,
+                              CFG.vocab_size)
+    imgs = jnp.zeros((2, 3, 28, 28), jnp.float32)
+    ref = generate_multimodal(model.params, kcfg, toks, imgs,
+                              SamplingConfig(max_new_tokens=5, greedy=True))
+    beams, norm, raw = beam_search_multimodal(
+        model.params, kcfg, toks, imgs, beam_size=1, max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(beams[:, 0]), np.asarray(ref))
+    # wider beam never worse on the raw log-prob of the best beam
+    _, _, raw3 = beam_search_multimodal(
+        model.params, kcfg, toks, imgs, beam_size=3, max_new_tokens=5)
+    assert float(raw3[0, 0]) >= float(raw[0, 0]) - 1e-5
+
+
 def test_ragged_prompts(params):
     """Padded prompt rows with explicit lengths match unpadded runs."""
     p_short = [5, 9]
