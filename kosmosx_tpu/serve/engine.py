@@ -670,6 +670,25 @@ class ServeEngine:
         self.prefix_hits += 1
         return self.prefix_cache[best[0]]
 
+    def cancel(self, req: Request) -> bool:
+        """Abort a request: drop it from the pending queue or free its slot.
+        Tokens already committed stay on ``req.tokens``; tokens still in
+        flight are discarded by the drain (same machinery as EOS). Returns
+        False if the request had already finished."""
+        if req.done:
+            return False
+        req.done = True
+        try:
+            self.pending.remove(req)
+        except ValueError:
+            pass
+        for i, s in enumerate(self.slots):
+            if s is req:
+                self.slots[i] = None
+                if self.chunked:
+                    self._pf_pos[i] = -1
+        return True
+
     # -- internals -----------------------------------------------------------
 
     def _fold(self):

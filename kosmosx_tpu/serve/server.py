@@ -67,6 +67,8 @@ class ServeServer:
         self.default_max_tokens = default_max_tokens
         self.request_timeout = request_timeout
         self._subq: "queue.Queue[_Ticket]" = queue.Queue()
+        self._cancelq: "queue.Queue[_Ticket]" = queue.Queue()
+        self._by_id: dict = {}        # request id -> ticket (live requests)
         self._tracked: List[_Ticket] = []
         self._running = False
         self._dispatcher: Optional[threading.Thread] = None
@@ -131,12 +133,24 @@ class ServeServer:
                 try:
                     self._admit_ticket(t)
                     self._tracked.append(t)
+                    self._by_id[t.request.id] = t
                 except Exception as e:  # bad payload: fail just this ticket
                     t.error = str(e)
                     t.done.set()
                 finally:
                     t.admitted.set()
                 busy = True
+            # cancellations (client disconnects, POST /v1/cancel) — engine
+            # calls stay on this thread
+            while True:
+                try:
+                    t = self._cancelq.get_nowait()
+                except queue.Empty:
+                    break
+                if t.request is not None:
+                    eng.cancel(t.request)
+                t.chunks.put(None)
+                t.done.set()
             if not busy:
                 continue
             try:
@@ -172,6 +186,7 @@ class ServeServer:
             if req.done:
                 t.chunks.put(None)   # stream sentinel
                 t.done.set()
+                self._by_id.pop(req.id, None)
             else:
                 still.append(t)
         self._tracked = still
@@ -216,6 +231,22 @@ class ServeServer:
                 return self._json(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/v1/cancel":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        payload = json.loads(self.rfile.read(n) or b"{}")
+                        rid = int(payload["id"])
+                    except Exception as e:
+                        return self._json(400, {"error": f"bad JSON: {e}"})
+                    t = server._by_id.get(rid)
+                    if t is None:
+                        return self._json(404,
+                                          {"error": f"unknown id {rid}"})
+                    server._cancelq.put(t)
+                    if not t.done.wait(server.request_timeout):
+                        return self._json(504, {"error": "cancel timeout"})
+                    return self._json(200, {"cancelled": rid,
+                                            **server._result(t)})
                 if self.path != "/v1/completions":
                     return self._json(404, {"error": "not found"})
                 try:
@@ -258,12 +289,20 @@ class ServeServer:
                     except queue.Empty:
                         chunk({"error": "generation timeout"})
                         break
-                    if part is None:
-                        chunk({"done": True, **server._result(ticket)})
-                        break
-                    chunk({"tokens": part})
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
+                    try:
+                        if part is None:
+                            chunk({"done": True, **server._result(ticket)})
+                            break
+                        chunk({"tokens": part})
+                    except (BrokenPipeError, ConnectionResetError, OSError):
+                        # client went away: free its slot for other work
+                        server._cancelq.put(ticket)
+                        return
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass
 
         return Handler
 

@@ -545,3 +545,34 @@ def test_engine_tensor_parallel_params(devices):
     ref = run(params)
     mesh = make_mesh(data=1, fsdp=2, tensor=4)
     assert run(shard_params(params, mesh), mesh=mesh) == ref
+
+
+def test_engine_cancel(params):
+    """cancel() frees the slot mid-flight, pending requests drop cleanly,
+    and remaining requests finish with unchanged greedy outputs."""
+    prompts = _prompts(3, key=91)
+    new = 12
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=2, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    h0 = eng.submit(prompts[0], max_new_tokens=new)
+    h1 = eng.submit(prompts[1], max_new_tokens=new)
+    h2 = eng.submit(prompts[2], max_new_tokens=new)  # waits in pending
+    for _ in range(3):
+        eng.step()
+    n0 = len(h0.tokens)
+    assert eng.cancel(h0) is True          # in a slot
+    assert eng.cancel(h2) is True          # still pending
+    assert eng.cancel(h0) is False         # idempotent
+    eng.run()
+    assert h0.done and len(h0.tokens) <= n0 + eng.scfg.sync_lag + 1
+    assert h2.done and h2.tokens == []     # never admitted
+    ref = generate_text(params, CFG, jnp.asarray([prompts[1]], jnp.int32),
+                        SamplingConfig(max_new_tokens=new, greedy=True))
+    assert h1.tokens == [int(t) for t in np.asarray(ref[0])]
+    # the freed slot serves a new request correctly
+    h3 = eng.submit(prompts[0], max_new_tokens=new)
+    eng.run()
+    ref0 = generate_text(params, CFG, jnp.asarray([prompts[0]], jnp.int32),
+                         SamplingConfig(max_new_tokens=new, greedy=True))
+    assert h3.tokens == [int(t) for t in np.asarray(ref0[0])]

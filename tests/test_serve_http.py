@@ -160,3 +160,61 @@ def test_tokenizer_text_roundtrip(params):
         assert body["tokens"] == ref
     finally:
         srv.stop()
+
+
+def test_cancel_endpoint(server):
+    """POST /v1/cancel aborts an in-flight request (or reports 404 if it
+    already finished — timing-dependent on a fast tiny model); either way
+    the blocked completion returns and the server stays serviceable.
+    Deterministic cancel semantics are pinned at the engine level in
+    tests/test_serve.py::test_engine_cancel."""
+    import time
+    import urllib.error
+
+    host, port = server.address[0], server.address[1]
+    results = {}
+
+    def post_big():
+        results["resp"] = _post(server, {"prompt": [5, 9, 2],
+                                         "max_tokens": 40})
+
+    th = threading.Thread(target=post_big, daemon=True)
+    th.start()
+    for _ in range(200):  # wait for admission (ticket enters the id map)
+        if server._by_id:
+            break
+        time.sleep(0.02)
+    rid = next(iter(server._by_id)) if server._by_id else 0
+    req = urllib.request.Request(
+        f"http://{host}:{port}/v1/cancel",
+        data=json.dumps({"id": rid}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        resp = urllib.request.urlopen(req, timeout=60)
+        body = json.loads(resp.read())
+        assert body["cancelled"] == rid
+    except urllib.error.HTTPError as e:
+        assert e.code == 404  # request finished before the cancel landed
+    th.join(timeout=60)
+    assert not th.is_alive()
+    status, out = results["resp"]
+    assert status == 200 and out["num_tokens"] <= 40
+    # engine is still serviceable after the cancel
+    ref = _ref_tokens(server.engine.dec_params, [7, 11, 4], 5)
+    status, out = _post(server, {"prompt": [7, 11, 4], "max_tokens": 5})
+    assert status == 200 and out["tokens"] == ref
+
+
+def test_cancel_unknown_id(server):
+    import urllib.error
+
+    host, port = server.address[0], server.address[1]
+    req = urllib.request.Request(
+        f"http://{host}:{port}/v1/cancel",
+        data=json.dumps({"id": 12345}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
