@@ -112,8 +112,17 @@ def linear(params, x, *, dtype=None):
     if "lora" in params:
         l = params["lora"]
         a = l["a"].astype(x.dtype)
-        b = l["b"].astype(x.dtype)
-        y = y + ((x @ a) @ b) * l["scale"].astype(x.dtype)
+        bl = l["b"].astype(x.dtype)
+        scale = l["scale"].astype(x.dtype)
+        if a.ndim == 3 and x.ndim == 3:
+            # per-ROW adapters (multi-LoRA serving, serve/engine.py): every
+            # batch row has its own factors a (B, in, r), b (B, r, out),
+            # scale (B,) — two thin batched einsums
+            d = jnp.einsum("bli,bir->blr", x, a)
+            d = jnp.einsum("blr,bro->blo", d, bl)
+            y = y + d * scale[:, None, None]
+        else:
+            y = y + ((x @ a) @ bl) * scale
     if "b" in params:
         b = params["b"]
         if dtype is not None:

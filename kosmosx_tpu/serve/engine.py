@@ -123,6 +123,7 @@ class Request:
     max_new_tokens: int = 64
     eos_id: Optional[int] = None
     images: Any = None           # optional (M, 3, H, W) for multimodal
+    adapter: Optional[str] = None  # LoRA adapter name (load_adapter)
     # filled by the engine:
     id: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)
@@ -513,6 +514,15 @@ class ServeEngine:
         self.shared_seg = None
         self.pos_offset = jnp.zeros((b,), jnp.int32)
         self.shared_on = jnp.zeros((b,), bool)
+        # multi-LoRA serving (load_adapter / submit(adapter=...)): per-slot
+        # adapter factor stacks grafted into the decode params — every slot
+        # can run a different fine-tune over the one base model
+        self.adapters: Dict[str, Any] = {}
+        self._slot_lora = None       # mirror tree, leaves stacked over slots
+        self._slot_axes = None       # slot axis per leaf (1 under scan stack)
+        self._zero_adapter = None
+        self._insert_adapter_fn = None
+        self._live_params = None     # dec_params + slot_lora graft (cached)
         # blocked decode (ServeConfig.decode_block)
         self.block = max(int(self.scfg.decode_block), 0)
         # chunked prefill (ServeConfig.prefill_chunk)
@@ -532,8 +542,14 @@ class ServeEngine:
     # -- request API --------------------------------------------------------
 
     def submit(self, prompt, max_new_tokens: int = 64,
-               eos_id: Optional[int] = None, images=None) -> Request:
+               eos_id: Optional[int] = None, images=None,
+               adapter: Optional[str] = None) -> Request:
         import numpy as np
+
+        if adapter is not None and adapter not in self.adapters:
+            raise KeyError(f"unknown adapter {adapter!r}; load_adapter first")
+        if adapter is not None and images is not None:
+            raise NotImplementedError("multi-LoRA serving is text-only")
 
         # ONE host fetch for device-array prompts: per-element int() on a
         # jax array costs one link RTT per token (~3.4 s / 128 tokens on
@@ -568,7 +584,8 @@ class ServeEngine:
                 f"({extra}) + max_new_tokens ({max_new_tokens}) exceeds "
                 f"cache length {self.scfg.max_len}")
         req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
-                      eos_id=eos_id, images=images, id=self._next_id)
+                      eos_id=eos_id, images=images, adapter=adapter,
+                      id=self._next_id)
         self._next_id += 1
         self.pending.append(req)
         return req
@@ -644,6 +661,77 @@ class ServeEngine:
         self.prefix_cache[key] = entry
         while len(self.prefix_cache) > self.scfg.prefix_cache_size:
             self.prefix_cache.popitem(last=False)
+
+    def load_adapter(self, name: str, lora_tree) -> None:
+        """Register a LoRA adapter for multi-tenant serving: requests submit
+        with ``adapter=name`` and every slot decodes through its own
+        factors, grafted per-row into the shared base (S-LoRA-style, but
+        static-shape: the per-slot factor stacks live at the adapted
+        linears' pytree paths and nn/layers.linear applies them as two thin
+        batched einsums — no gathers, no recompilation per adapter).
+
+        ``lora_tree``: the mirror tree from train/lora.strip_lora (or a
+        LoraTrainer state's ``lora`` subtree)."""
+        from kosmosx_tpu.train.lora import attach_lora, num_lora_params
+
+        if self.kcfg is not None:
+            raise NotImplementedError(
+                "multi-LoRA serving is text-only for now (adapters attach "
+                "to the decoder; build the engine without kosmos_cfg)")
+        if self.spec:
+            raise NotImplementedError(
+                "multi-LoRA + speculative serving is not implemented (the "
+                "draft would need per-slot adapters too)")
+        if num_lora_params(lora_tree) == 0:
+            raise ValueError("lora_tree has no adapter factors")
+        flat = jax.tree_util.tree_map(jnp.asarray, lora_tree)
+        if self._slot_lora is None:
+            self._init_slot_lora(flat)
+        # per-adapter batch-1 prefill params (graft shares the base arrays)
+        self.adapters[name] = {
+            "tree": flat,
+            "params": attach_lora(self.dec_params, flat),
+        }
+
+    def _init_slot_lora(self, template):
+        b = self.scfg.max_batch
+
+        def axis(path, leaf):
+            names = [getattr(p, "key", None) for p in path]
+            # scan-stacked decoder layers carry a leading L axis; the slot
+            # axis slots in right after it so lax.scan still slices L first
+            return 1 if "layers" in names and leaf.ndim >= 1 and \
+                not any(hasattr(p, "idx") for p in path) else 0
+
+        self._slot_axes = jax.tree_util.tree_map_with_path(axis, template)
+        self._slot_lora = jax.tree_util.tree_map(
+            lambda x, ax: jnp.zeros(x.shape[:ax] + (b,) + x.shape[ax:],
+                                    x.dtype),
+            template, self._slot_axes)
+        self._zero_adapter = jax.tree_util.tree_map(jnp.zeros_like, template)
+        axes = self._slot_axes
+
+        def ins(dst, src, slot):
+            return jax.tree_util.tree_map(
+                lambda d, s, ax: jax.lax.dynamic_update_index_in_dim(
+                    d, s, slot, ax), dst, src, axes)
+
+        self._insert_adapter_fn = jax.jit(ins, donate_argnums=(0,))
+
+    def _set_slot_adapter(self, slot: int, name: Optional[str]):
+        if self._slot_lora is None:
+            return
+        src = (self.adapters[name]["tree"] if name is not None
+               else self._zero_adapter)
+        self._slot_lora = self._insert_adapter_fn(self._slot_lora, src, slot)
+        from kosmosx_tpu.train.lora import attach_lora
+        self._live_params = attach_lora(self.dec_params, self._slot_lora)
+
+    def _pool_params(self):
+        """Decode-path params: the base, or base + per-slot adapter stacks
+        once any adapter has been loaded."""
+        return self._live_params if self._live_params is not None \
+            else self.dec_params
 
     def _shared(self):
         """(shared_caches, shared_on, pos_offset) for the jitted cores."""
@@ -722,9 +810,15 @@ class ServeEngine:
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
         s_idx = self.kcfg.splice_index if self.kcfg is not None else 0
+        # per-slot LoRA adapter (cleared to zeros when the request has none)
+        self._set_slot_adapter(slot, req.adapter)
         # shared-prefix segment: matching slots attend it in place (no
-        # copy); their own cache starts at 0 with positions shifted by P
-        sh_match = req.images is None and self._matches_shared(praw)
+        # copy); their own cache starts at 0 with positions shifted by P.
+        # Adapter requests skip BOTH prefix paths: registered prefixes were
+        # prefilled with the BASE model, and an adapted model processes the
+        # prefix differently.
+        sh_match = (req.images is None and req.adapter is None
+                    and self._matches_shared(praw))
         if self.shared_seg is not None:
             self.shared_on = self.shared_on.at[slot].set(bool(sh_match))
             self.pos_offset = self.pos_offset.at[slot].set(
@@ -736,7 +830,7 @@ class ServeEngine:
         # its prefill (the cached K/V is copied into the slot)
         hit = (self._match_prefix(praw)
                if self.prefix_cache and req.images is None and not sh_match
-               else None)
+               and req.adapter is None else None)
         if self.chunked and (req.images is None or len(praw) > s_idx):
             # no full-prompt device work now: the text streams in
             # chunk-by-chunk via _advance_prefill, interleaved with other
@@ -824,8 +918,10 @@ class ServeEngine:
                 self.kcfg, self.sampling, self.scfg.max_len)
             idx = full_len
         else:
+            pparams = (self.adapters[req.adapter]["params"]
+                       if req.adapter is not None else self.dec_params)
             first, c1 = _prefill_one_jit(
-                self.dec_params, prompt, length, self._fold(), self.cfg,
+                pparams, prompt, length, self._fold(), self.cfg,
                 self.sampling, self.scfg.max_len,
                 double_scale=self.double_scale, interpret=self.interpret)
             idx = length
@@ -903,7 +999,7 @@ class ServeEngine:
             if pos + n >= plen:
                 completing.append(slot)
         first, self.caches, self.index = _prefill_chunk_pool_jit(
-            self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
+            self._pool_params(), jnp.asarray(chunk), jnp.asarray(seg),
             self.caches, self.index, jnp.asarray(mask),
             jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
             double_scale=self.double_scale, shared=self._shared())
@@ -975,7 +1071,7 @@ class ServeEngine:
                 self.last = carry
             elif self.block > 1:
                 emit, self.last, self.caches, self.index = _decode_block_jit(
-                    self.dec_params, self.last, self.caches, self.index,
+                    self._pool_params(), self.last, self.caches, self.index,
                     active, self._fold(), self.cfg, self.sampling,
                     self.block, pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
@@ -983,7 +1079,7 @@ class ServeEngine:
                 n_emit = [self.block if a else 0 for a in active_list]
             else:
                 nxt, self.caches, self.index = _decode_step_jit(
-                    self.dec_params, self.last, self.caches, self.index,
+                    self._pool_params(), self.last, self.caches, self.index,
                     active, self._fold(), self.cfg, self.sampling,
                     pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,

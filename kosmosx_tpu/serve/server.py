@@ -117,7 +117,7 @@ class ServeServer:
         t.request = self.engine.submit(
             [int(x) for x in prompt],
             max_new_tokens=int(p.get("max_tokens", self.default_max_tokens)),
-            eos_id=p.get("eos_id"))
+            eos_id=p.get("eos_id"), adapter=p.get("adapter"))
 
     def _dispatch_loop(self):
         eng = self.engine

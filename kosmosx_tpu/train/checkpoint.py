@@ -63,9 +63,13 @@ def save_params(params: Any, path: str) -> str:
     return path
 
 
-def restore_params(path: str, target: Any) -> Any:
+def restore_params(path: str, target: Any = None) -> Any:
     """Restore a params-only checkpoint (see :func:`save_params`) into the
-    structure/shardings of ``target``."""
+    structure/shardings of ``target``; with no target, restore with the
+    structure recorded in the checkpoint (single-host only)."""
+    if target is None:
+        ocp = _ocp()
+        return ocp.StandardCheckpointer().restore(os.path.abspath(path))
     return restore_checkpoint(path, target)
 
 

@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--share-prefix", action="store_true",
                    help="with --system-prefix: shared-prefix ATTENTION "
                         "(one broadcast KV segment, no per-slot copies)")
+    p.add_argument("--adapter", action="append", default=None,
+                   metavar="NAME=PATH",
+                   help="repeatable: load a LoRA adapter (the 'adapter' "
+                        "dir a --lora-rank training run writes) for "
+                        "multi-LoRA serving; HTTP requests select one via "
+                        "the 'adapter' payload field, CLI prompts via "
+                        "--use-adapter")
+    p.add_argument("--use-adapter", default=None,
+                   help="serve every CLI prompt through this adapter")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--eos-id", type=int, default=None)
     p.add_argument("--greedy", action="store_true", default=True)
@@ -95,6 +104,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(POST /v1/completions, GET /healthz, /v1/stats)")
     p.add_argument("--host", default="127.0.0.1")
     return p
+
+
+def _load_adapters(eng, specs):
+    """--adapter NAME=PATH entries -> ServeEngine.load_adapter."""
+    for spec in specs or ():
+        name, _, path = spec.partition("=")
+        if not name or not path:
+            raise SystemExit(f"--adapter needs NAME=PATH, got {spec!r}")
+        from kosmosx_tpu.train.checkpoint import restore_params
+
+        eng.load_adapter(name, restore_params(path))
 
 
 def main(argv=None):
@@ -176,6 +196,7 @@ def main(argv=None):
         eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
         if prefix_ids:
             eng.register_prefix(prefix_ids, share=args.share_prefix)
+        _load_adapters(eng, args.adapter)
 
         class _Tok:  # adapt KosmosTokenizer to the server's encode/decode
             def encode(self, s):
@@ -232,6 +253,7 @@ def main(argv=None):
     eng = ServeEngine(params, cfg, scfg, sampling, kosmos_cfg=kcfg)
     if prefix_ids:
         eng.register_prefix(prefix_ids, share=args.share_prefix)
+    _load_adapters(eng, args.adapter)
 
     images = []
     for i in range(len(prompts)):
@@ -246,14 +268,16 @@ def main(argv=None):
     while pending and eng.num_active < args.slots:
         p, im = pending.pop(0)
         handles.append(eng.submit(p, max_new_tokens=args.max_new_tokens,
-                                  eos_id=args.eos_id, images=im))
+                                  eos_id=args.eos_id, images=im,
+                                  adapter=args.use_adapter))
     while True:
         alive = eng.step()
         while pending and eng.num_active < args.slots:
             p, im = pending.pop(0)
             handles.append(eng.submit(p,
                                       max_new_tokens=args.max_new_tokens,
-                                      eos_id=args.eos_id, images=im))
+                                      eos_id=args.eos_id, images=im,
+                                      adapter=args.use_adapter))
             alive = True
         if not alive and not pending:
             break

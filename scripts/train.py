@@ -244,6 +244,13 @@ def main(argv=None):
                            config=vars(args)) if (args.metrics_jsonl or
                                                   args.wandb) else None
     state, metrics = trainer.run(batches, steps=args.steps, log_fn=log_fn)
+    if args.lora_rank > 0 and not args.no_final_save:
+        # raw adapter factors for multi-LoRA serving
+        # (ServeEngine.load_adapter / scripts/serve.py --adapter)
+        from kosmosx_tpu.train import checkpoint as _ckpt
+
+        _ckpt.save_params(state["lora"],
+                          os.path.join(args.output_dir, "adapter"))
     print("final:", {k: float(v) for k, v in metrics.items()})
 
 

@@ -194,7 +194,7 @@ def test_lora_cli_from_checkpoint(tmp_path):
               "--dtype", "float32", "--no-flash", "--batch-size", "2",
               "--seq-len", "16", "--steps", "4", "--log-every", "2",
               "--checkpoint-every", "0", "--optimizer", "adamw",
-              "--data", "2"]
+              "--data", "2", "--scan-layers"]
     base_dir = tmp_path / "base"
     out = subprocess.run(common + ["--output-dir", str(base_dir)],
                          capture_output=True, text=True, timeout=600, env=env)
@@ -207,7 +207,22 @@ def test_lora_cli_from_checkpoint(tmp_path):
                   "--init-checkpoint", str(base_dir / "final")],
         capture_output=True, text=True, timeout=600, env=env)
     assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
-    assert (lora_dir / "final").exists()  # merged params
+    assert (lora_dir / "final").exists()    # merged params
+    assert (lora_dir / "adapter").exists()  # raw factors (multi-LoRA serving)
+
+    # stage 3: multi-LoRA serving smoke — serve a prompt through the saved
+    # adapter over a matching base config
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "serve.py"),
+         "--layers", "1", "--dim", "32", "--ffn-dim", "64", "--heads", "2",
+         "--vocab-size", "97", "--max-positions", "64",
+         "--dtype", "float32", "--no-flash", "--slots", "2",
+         "--max-prompt-len", "16", "--max-new-tokens", "4", "--sync-lag",
+         "0", "--adapter", f"tuned={lora_dir / 'adapter'}",
+         "--use-adapter", "tuned", "--prompt", "hello"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
+    assert "[req 0]" in out.stdout
 
 
 def test_save_restore_params_round_trip(tmp_path):
