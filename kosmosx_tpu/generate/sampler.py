@@ -41,8 +41,22 @@ class SamplingConfig:
 
 
 def sample_logits(logits: jax.Array, rng: jax.Array,
-                  cfg: SamplingConfig) -> jax.Array:
-    """logits (B, V) -> token ids (B,)."""
+                  cfg: SamplingConfig,
+                  temps: Optional[jax.Array] = None) -> jax.Array:
+    """logits (B, V) -> token ids (B,).
+
+    ``temps`` (B,) — per-ROW temperature overrides (serving: every request
+    can pick its own). Sentinel semantics per row: < 0 = use ``cfg``'s
+    static behavior; 0 = greedy; > 0 = plain temperature sampling."""
+    if temps is not None:
+        base = sample_logits(logits, rng, cfg)
+        l32 = logits.astype(jnp.float32)
+        scaled = l32 / jnp.maximum(temps, 1e-6)[:, None]
+        sampled = jax.random.categorical(rng, scaled, axis=-1
+                                         ).astype(jnp.int32)
+        greedy = jnp.argmax(l32, axis=-1).astype(jnp.int32)
+        per_row = jnp.where(temps <= 1e-6, greedy, sampled)
+        return jnp.where(temps < 0, base, per_row)
     logits = logits.astype(jnp.float32)
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)

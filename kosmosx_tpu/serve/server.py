@@ -117,7 +117,8 @@ class ServeServer:
         t.request = self.engine.submit(
             [int(x) for x in prompt],
             max_new_tokens=int(p.get("max_tokens", self.default_max_tokens)),
-            eos_id=p.get("eos_id"), adapter=p.get("adapter"))
+            eos_id=p.get("eos_id"), adapter=p.get("adapter"),
+            temperature=p.get("temperature"))
 
     def _dispatch_loop(self):
         eng = self.engine

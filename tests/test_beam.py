@@ -63,6 +63,7 @@ def test_reported_score_is_true_logprob(params):
     assert float(raw[0, 0]) >= float(raw[0, 1]) >= float(raw[0, 3])
 
 
+@pytest.mark.slow
 def test_wider_beam_never_worse(params):
     prompt = jnp.asarray([[3, 19, 42, 8, 27]], jnp.int32)
     new = 6
@@ -75,6 +76,7 @@ def test_wider_beam_never_worse(params):
     assert scores[2] >= scores[1] - 1e-5
 
 
+@pytest.mark.slow
 def test_eos_freezes_beam(params):
     """Force an EOS id that greedy hits early; positions after it must be
     EOS and the raw score must stop accumulating."""
@@ -95,6 +97,7 @@ def test_eos_freezes_beam(params):
             np.testing.assert_allclose(float(raw[0, k]), want, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_batch_rows_independent(params):
     p0 = [5, 9, 2, 33]
     p1 = [44, 3, 17, 8]

@@ -69,7 +69,9 @@ def test_linear_lora_algebra():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-@pytest.mark.parametrize("cfg", [CFG, CFG_MW_SCAN], ids=["plain", "mw_scan"])
+@pytest.mark.parametrize("cfg", [
+    CFG, pytest.param(CFG_MW_SCAN, marks=pytest.mark.slow)],
+    ids=["plain", "mw_scan"])
 def test_merge_matches_unmerged(cfg):
     key = jax.random.PRNGKey(2)
     params = dec.init_decoder(key, cfg)

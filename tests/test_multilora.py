@@ -68,8 +68,10 @@ def _prompts(n, key=7):
 
 @pytest.mark.parametrize("scfg", [
     ServeConfig(max_batch=3, max_prompt_len=16, max_len=48),
-    ServeConfig(max_batch=2, max_prompt_len=16, max_len=48, sync_lag=2),
-    ServeConfig(max_batch=2, max_prompt_len=16, max_len=48, prefill_chunk=4),
+    pytest.param(ServeConfig(max_batch=2, max_prompt_len=16, max_len=48,
+                             sync_lag=2), marks=pytest.mark.slow),
+    pytest.param(ServeConfig(max_batch=2, max_prompt_len=16, max_len=48,
+                             prefill_chunk=4), marks=pytest.mark.slow),
 ], ids=["plain", "lagged", "chunked"])
 def test_per_slot_adapters_match_dedicated_engines(params, scfg):
     a_tree = _adapter(params, seed=11)
@@ -115,6 +117,7 @@ def test_adapter_guards(params):
         eng.load_adapter("empty", {})
 
 
+@pytest.mark.slow
 def test_adapter_slot_reuse_resets_factors(params):
     """A base request admitted into a slot previously used by an adapter
     request must decode with ZERO factors (slot stacks are re-zeroed)."""

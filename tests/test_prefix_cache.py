@@ -62,8 +62,10 @@ def _run(params, prompts, new, scfg):
 
 @pytest.mark.parametrize("scfg", [
     ServeConfig(max_batch=3, max_prompt_len=16, max_len=64),
-    ServeConfig(max_batch=3, max_prompt_len=16, max_len=64, sync_lag=2),
-    ServeConfig(max_batch=2, max_prompt_len=16, max_len=64, prefill_chunk=4),
+    pytest.param(ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
+                             sync_lag=2), marks=pytest.mark.slow),
+    pytest.param(ServeConfig(max_batch=2, max_prompt_len=16, max_len=64,
+                             prefill_chunk=4), marks=pytest.mark.slow),
 ], ids=["plain", "lagged", "chunked"])
 def test_prefix_hits_match_full_prefill(params, scfg):
     prompts = _shared_prompts(4)
@@ -75,6 +77,7 @@ def test_prefix_hits_match_full_prefill(params, scfg):
         assert h.tokens == ref, f"prompt {p}: {h.tokens} vs {ref}"
 
 
+@pytest.mark.slow
 def test_prefix_with_int8_kv_cache(params):
     cfg8 = dataclasses.replace(CFG, kv_cache_dtype="int8")
     prompts = _shared_prompts(3)
@@ -97,6 +100,7 @@ def test_prefix_with_int8_kv_cache(params):
         assert hr.tokens == h8.tokens
 
 
+@pytest.mark.slow
 def test_prefix_speculative_engine(params):
     draft_cfg = dataclasses.replace(CFG, layers=1)
     dparams = dec.init_decoder(jax.random.PRNGKey(3), draft_cfg)
@@ -151,9 +155,11 @@ def test_prefix_validation(params):
 
 @pytest.mark.parametrize("scfg", [
     ServeConfig(max_batch=3, max_prompt_len=16, max_len=64),
-    ServeConfig(max_batch=3, max_prompt_len=16, max_len=64, sync_lag=2,
-                decode_block=2),
-    ServeConfig(max_batch=2, max_prompt_len=16, max_len=64, prefill_chunk=4),
+    pytest.param(ServeConfig(max_batch=3, max_prompt_len=16, max_len=64,
+                             sync_lag=2, decode_block=2),
+                 marks=pytest.mark.slow),
+    pytest.param(ServeConfig(max_batch=2, max_prompt_len=16, max_len=64,
+                             prefill_chunk=4), marks=pytest.mark.slow),
 ], ids=["plain", "lag_block", "chunked"])
 def test_shared_prefix_matches_full_prefill(params, scfg):
     """register_prefix(share=True): matching slots attend ONE broadcast
@@ -191,6 +197,7 @@ def test_shared_prefix_shrinks_cache_budget(params):
         eng2.submit(prompt, max_new_tokens=new)
 
 
+@pytest.mark.slow
 def test_shared_prefix_int8_kv(params):
     """Shared segment (bf16, exact) over an int8 own-cache pool."""
     cfg8 = dataclasses.replace(CFG, kv_cache_dtype="int8")

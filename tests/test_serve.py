@@ -576,3 +576,35 @@ def test_engine_cancel(params):
     ref0 = generate_text(params, CFG, jnp.asarray([prompts[0]], jnp.int32),
                          SamplingConfig(max_new_tokens=new, greedy=True))
     assert h3.tokens == [int(t) for t in np.asarray(ref0[0])]
+
+
+def test_per_request_temperature(params):
+    """temperature=0 requests stay bit-exact greedy even while a sampling
+    request shares the pool; sentinel slots keep the engine default."""
+    prompts = _prompts(3, key=61)
+    new = 8
+    scfg = ServeConfig(max_batch=3, max_prompt_len=16, max_len=48)
+    eng = ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True),
+                      rng=jax.random.PRNGKey(9))
+    h_greedy = eng.submit(prompts[0], max_new_tokens=new, temperature=0.0)
+    h_hot = eng.submit(prompts[1], max_new_tokens=new, temperature=5.0)
+    h_default = eng.submit(prompts[2], max_new_tokens=new)  # engine greedy
+    eng.run()
+    for p, h in ((prompts[0], h_greedy), (prompts[2], h_default)):
+        ref = generate_text(params, CFG, jnp.asarray([p], jnp.int32),
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+        assert h.tokens == [int(t) for t in np.asarray(ref[0])]
+    ref_hot = generate_text(params, CFG, jnp.asarray([prompts[1]], jnp.int32),
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+    # at temperature 5 on random-init logits, matching greedy on all 8
+    # tokens is ~impossible; this pins that the override actually applies
+    assert h_hot.tokens != [int(t) for t in np.asarray(ref_hot[0])]
+    assert len(h_hot.tokens) == new
+
+
+def test_temperature_guards(params):
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=2, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    with pytest.raises(ValueError, match="temperature"):
+        eng.submit([5, 6], temperature=-1.0)
