@@ -97,6 +97,13 @@ class ServeConfig:
     # Bounds the admission stall to one chunk per step instead of one full
     # prompt.
     prefill_chunk: int = 0
+    # Admission prefill buckets: batch-1 prefills pad the prompt to the
+    # smallest listed bucket >= its length instead of always to
+    # max_prompt_len — prefill FLOPs scale with the bucket, so short
+    # prompts admit proportionally faster. Each bucket compiles one extra
+    # prefill program (expensive on a remote chip: opt in deliberately).
+    # () = always pad to max_prompt_len.
+    prompt_buckets: tuple = ()
     # Prefix caching: max number of prefixes held by register_prefix()
     # (LRU). A registered prefix's KV cache is computed once; any text
     # request whose prompt starts with it is admitted by copying the cached
@@ -933,8 +940,16 @@ class ServeEngine:
             self.emitted_total += 1
             self._maybe_finish(slot, tok)
             return
+        # bucketed admission (ServeConfig.prompt_buckets): pad to the
+        # smallest bucket that fits — prefill FLOPs scale with the bucket,
+        # so short prompts admit proportionally faster
+        pad_to = p
+        for bucket in sorted(self.scfg.prompt_buckets):
+            if len(praw) <= bucket <= p:
+                pad_to = bucket
+                break
         prompt = jnp.asarray(
-            np.pad(praw, (0, p - len(praw)),
+            np.pad(praw, (0, pad_to - len(praw)),
                    constant_values=self.scfg.pad_id))[None, :]
         length = jnp.asarray([len(praw)], jnp.int32)
         if req.images is not None:

@@ -44,6 +44,7 @@ class _Ticket:
     request: Any = None          # serve.engine.Request once admitted
     error: Optional[str] = None
     sent: int = 0                # tokens already pushed to ``chunks``
+    text_sent: int = 0           # decoded characters already streamed
 
 
 class ServeServer:
@@ -183,7 +184,21 @@ class ServeServer:
             new = req.tokens[t.sent:]
             if new:
                 t.sent = len(req.tokens)
-                t.chunks.put(list(new))
+                item = {"tokens": list(new)}
+                if self.tokenizer is not None:
+                    # incremental detokenization: decode the full prefix and
+                    # stream the delta, holding back a trailing replacement
+                    # char (a token mid-way through a multi-byte sequence)
+                    try:
+                        text = self.tokenizer.decode(req.tokens)
+                        if text.endswith("�"):
+                            text = text[:-1]
+                        if len(text) > t.text_sent:
+                            item["text"] = text[t.text_sent:]
+                            t.text_sent = len(text)
+                    except Exception:
+                        pass
+                t.chunks.put(item)
             if req.done:
                 t.chunks.put(None)   # stream sentinel
                 t.done.set()
@@ -294,7 +309,7 @@ class ServeServer:
                         if part is None:
                             chunk({"done": True, **server._result(ticket)})
                             break
-                        chunk({"tokens": part})
+                        chunk(part)
                     except (BrokenPipeError, ConnectionResetError, OSError):
                         # client went away: free its slot for other work
                         server._cancelq.put(ticket)

@@ -608,3 +608,20 @@ def test_temperature_guards(params):
                       SamplingConfig(greedy=True))
     with pytest.raises(ValueError, match="temperature"):
         eng.submit([5, 6], temperature=-1.0)
+
+
+def test_bucketed_admission_matches(params):
+    """prompt_buckets pads admission prefills to the smallest fitting
+    bucket; outputs must be identical to always-max padding."""
+    prompts = _prompts(4, key=71)
+    new = 6
+    base = ServeConfig(max_batch=2, max_prompt_len=16, max_len=48)
+    eng_ref = ServeEngine(params, CFG, base, SamplingConfig(greedy=True))
+    ref = [eng_ref.submit(p, max_new_tokens=new) for p in prompts]
+    eng_ref.run()
+    bucketed = dataclasses.replace(base, prompt_buckets=(4, 8))
+    eng = ServeEngine(params, CFG, bucketed, SamplingConfig(greedy=True))
+    got = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    for r, g in zip(ref, got):
+        assert r.tokens == g.tokens

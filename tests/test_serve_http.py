@@ -218,3 +218,30 @@ def test_cancel_unknown_id(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_streaming_text_deltas(params):
+    """With a tokenizer, stream chunks carry incremental text whose
+    concatenation equals the final decoded text."""
+    class ToyTok:
+        def encode(self, s):
+            return [4 + (ord(c) % 90) for c in s]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=2, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    srv = ServeServer(eng, port=0, tokenizer=ToyTok()).start()
+    try:
+        code, lines = _post(srv, {"prompt": "hey", "max_tokens": 5,
+                                  "stream": True}, stream=True)
+        assert code == 200
+        deltas = "".join(l.get("text", "") for l in lines
+                         if not l.get("done"))
+        final = lines[-1]
+        assert final.get("done") is True
+        assert deltas == final["text"]
+    finally:
+        srv.stop()
