@@ -598,7 +598,11 @@ class ServeEngine:
         # cache, so only the remainder counts against max_len.
         window = self.scfg.overrun_window
         own_prompt = len(prompt)
-        if images is None and self._matches_shared(prompt):
+        # mirror _admit's sh_match condition exactly: adapter requests do
+        # NOT use the shared segment (it was prefilled with the base model),
+        # so their whole prompt occupies their own cache
+        if images is None and adapter is None \
+                and self._matches_shared(prompt):
             own_prompt -= self.shared_seg["len"]
         if (own_prompt + extra + max_new_tokens + window
                 > self.scfg.max_len):
@@ -635,7 +639,9 @@ class ServeEngine:
         zero per-token bookkeeping, no gathers."""
         import numpy as np
 
-        if self.scfg.prefix_cache_size <= 0:
+        if not share and self.scfg.prefix_cache_size <= 0:
+            # the shared segment lives in self.shared_seg, not the LRU —
+            # size 0 only disables copy-mode caching
             raise ValueError("ServeConfig.prefix_cache_size is 0")
         toks = [int(t) for t in
                 np.asarray(jax.device_get(tokens), np.int64).ravel()]
@@ -900,45 +906,20 @@ class ServeEngine:
             # (one compile at K = max_prompt_len; in-flight slots are
             # unaffected — their rows carry zero valid tokens and their
             # index is fixed)
-            b = self.scfg.max_batch
             if hit is not None:
                 suffix = praw[hit["len"]:]
                 self.caches = _insert_slot_jit(self.caches, hit["caches"],
                                                slot)
                 self.index = self.index.at[slot].set(hit["len"])
+                if self.spec:
+                    self.draft_caches = _insert_slot_jit(
+                        self.draft_caches, hit["draft"], slot)
+                    self.index_d = self.index_d.at[slot].set(hit["len"])
             else:
                 suffix = praw  # already trimmed to the own-cache remainder
                 self.index = self.index.at[slot].set(0)
-            chunk = np.full((b, p), self.scfg.pad_id, np.int32)
-            chunk[slot, :len(suffix)] = suffix
-            seg = np.full((b, p), -1, np.int32)
-            seg[slot, :len(suffix)] = 0
-            boundary = np.zeros((b,), np.int32)
-            boundary[slot] = len(suffix) - 1
-            mask = np.zeros((b,), bool)
-            mask[slot] = True
-            first, self.caches, self.index = _prefill_chunk_pool_jit(
-                self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
-                self.caches, self.index, jnp.asarray(mask),
-                jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
-                double_scale=self.double_scale, shared=self._shared(),
-                temps=self._temps())
-            if self.spec:
-                self.draft_caches = _insert_slot_jit(self.draft_caches,
-                                                     hit["draft"], slot)
-                self.index_d = self.index_d.at[slot].set(hit["len"])
-                _, self.draft_caches, self.index_d = _prefill_chunk_pool_jit(
-                    self.draft_params, jnp.asarray(chunk), jnp.asarray(seg),
-                    self.draft_caches, self.index_d, jnp.asarray(mask),
-                    jnp.asarray(boundary), jax.random.PRNGKey(0),
-                    self.draft_cfg, self.sampling)
-            tok = int(first[slot])
-            self.last = self.last.at[slot].set(tok)
-            self.slots[slot] = req
-            req.tokens.append(tok)
-            self._dispatched[slot] = 1
-            self.emitted_total += 1
-            self._maybe_finish(slot, tok)
+            tok = self._suffix_prefill(slot, suffix)
+            self._commit_first_token(slot, req, tok)
             return
         # bucketed admission (ServeConfig.prompt_buckets): pad to the
         # smallest bucket that fits — prefill FLOPs scale with the bucket,
@@ -985,11 +966,46 @@ class ServeEngine:
                                                  slot)
             self.index_d = self.index_d.at[slot].set(len(praw))
         self.index = self.index.at[slot].set(idx[0])
-        tok = int(first[0])
+        self._commit_first_token(slot, req, int(first[0]))
+
+    def _suffix_prefill(self, slot: int, suffix) -> int:
+        """Prefill ``suffix`` tokens for ONE slot through the pooled chunk
+        program (target + draft pools), starting at the slot's current
+        index; returns the sampled boundary token. Other slots' rows carry
+        zero valid tokens and their index is untouched."""
+        import numpy as np
+
+        b, p = self.scfg.max_batch, self.scfg.max_prompt_len
+        chunk = np.full((b, p), self.scfg.pad_id, np.int32)
+        chunk[slot, :len(suffix)] = suffix
+        seg = np.full((b, p), -1, np.int32)
+        seg[slot, :len(suffix)] = 0
+        boundary = np.zeros((b,), np.int32)
+        boundary[slot] = len(suffix) - 1
+        mask = np.zeros((b,), bool)
+        mask[slot] = True
+        first, self.caches, self.index = _prefill_chunk_pool_jit(
+            self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
+            self.caches, self.index, jnp.asarray(mask),
+            jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
+            double_scale=self.double_scale, shared=self._shared(),
+            temps=self._temps())
+        if self.spec:
+            _, self.draft_caches, self.index_d = _prefill_chunk_pool_jit(
+                self.draft_params, jnp.asarray(chunk), jnp.asarray(seg),
+                self.draft_caches, self.index_d, jnp.asarray(mask),
+                jnp.asarray(boundary), jax.random.PRNGKey(0),
+                self.draft_cfg, self.sampling)
+        return int(first[slot])
+
+    def _commit_first_token(self, slot: int, req: Request, tok: int):
+        """Bookkeeping shared by every admission flavor: the prefill's
+        sampled token enters the slot's device feed and the request's
+        output, and counts toward its budget."""
         self.last = self.last.at[slot].set(tok)
         self.slots[slot] = req
         req.tokens.append(tok)
-        self._dispatched[slot] = 1  # the prefill token counts toward budget
+        self._dispatched[slot] = 1
         self.emitted_total += 1
         self._maybe_finish(slot, tok)
 

@@ -44,7 +44,7 @@ class _Ticket:
     request: Any = None          # serve.engine.Request once admitted
     error: Optional[str] = None
     sent: int = 0                # tokens already pushed to ``chunks``
-    text_sent: int = 0           # decoded characters already streamed
+    text_out: str = ""           # decoded text already streamed
 
 
 class ServeServer:
@@ -186,16 +186,23 @@ class ServeServer:
                 t.sent = len(req.tokens)
                 item = {"tokens": list(new)}
                 if self.tokenizer is not None:
-                    # incremental detokenization: decode the full prefix and
-                    # stream the delta, holding back a trailing replacement
-                    # char (a token mid-way through a multi-byte sequence)
+                    # Incremental detokenization. Deliberately re-decodes the
+                    # full prefix each flush (decode of a token SUFFIX is not
+                    # boundary-safe for BPE merges/leading-space rules; a full
+                    # decode is ~µs per KB on fast tokenizers). ALL trailing
+                    # replacement chars are held back — a multi-byte char
+                    # split across byte-fallback tokens decodes to 1..3 of
+                    # them until complete — and a delta is emitted only while
+                    # the already-streamed prefix is stable, so concatenated
+                    # deltas always equal the final text.
                     try:
                         text = self.tokenizer.decode(req.tokens)
-                        if text.endswith("�"):
+                        while text.endswith("�"):
                             text = text[:-1]
-                        if len(text) > t.text_sent:
-                            item["text"] = text[t.text_sent:]
-                            t.text_sent = len(text)
+                        if text.startswith(t.text_out) and \
+                                len(text) > len(t.text_out):
+                            item["text"] = text[len(t.text_out):]
+                            t.text_out = text
                     except Exception:
                         pass
                 t.chunks.put(item)

@@ -225,7 +225,7 @@ class LoraTrainer:
         self._t = Trainer(init_fn, loss_fn, cfg, mesh=mesh)
         self._t.init_state = self.init_state
         self._t._build_step = self._build_step
-        self._t.final_params = self.merged_params
+        self._t.final_params = self._final_params
         self.rank, self.alpha, self.targets = rank, alpha, tuple(targets)
         self._given_base = base_params
         self.base_params = None
@@ -301,3 +301,13 @@ class LoraTrainer:
     def merged_params(self):
         """Base with LoRA deltas folded in — for zero-overhead serving."""
         return merge_lora(self.adapted_params())
+
+    def _final_params(self):
+        """Final consolidated save: merged when the base can absorb the
+        deltas; the unmerged adapted tree for W8/QLoRA bases (int8 codes
+        cannot take an exact delta — nn/layers.linear applies it at
+        runtime instead), so a final_save run never crashes post-training."""
+        try:
+            return self.merged_params()
+        except ValueError:
+            return self.adapted_params()

@@ -175,21 +175,38 @@ class Trainer:
         self.state_shardings = None
 
     # -- state ---------------------------------------------------------------
-    def init_state(self):
+    def init_state(self, initial_params=None):
+        """Build sharded state. ``initial_params`` (e.g. a restored
+        checkpoint) skips the random init entirely — the params are passed
+        as a jit ARGUMENT, not a closure constant (big baked-in constants
+        blow up remote-compile requests)."""
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
 
-        def build(key):
-            params = self._init_fn(key)
+        if initial_params is None:
+            def build(key):
+                params = self._init_fn(key)
+                opt_state = self.optimizer.init(params)
+                return TrainState.create(params, opt_state, key)
+
+            abstract = jax.eval_shape(build, key)
+            specs = self._state_specs(abstract)
+            self.state_shardings = jax.tree_util.tree_map(
+                lambda s: NamedSharding(self.mesh, s), specs)
+            build_jit = jax.jit(build, out_shardings=self.state_shardings)
+            self.state = build_jit(key)
+            return self.state
+
+        def build_from(params, key):
             opt_state = self.optimizer.init(params)
             return TrainState.create(params, opt_state, key)
 
-        abstract = jax.eval_shape(build, key)
+        abstract = jax.eval_shape(build_from, initial_params, key)
         specs = self._state_specs(abstract)
         self.state_shardings = jax.tree_util.tree_map(
             lambda s: NamedSharding(self.mesh, s), specs)
-        build_jit = jax.jit(build, out_shardings=self.state_shardings)
-        self.state = build_jit(key)
+        build_jit = jax.jit(build_from, out_shardings=self.state_shardings)
+        self.state = build_jit(initial_params, key)
         return self.state
 
     def _state_specs(self, abstract_state):

@@ -231,14 +231,8 @@ def main(argv=None):
     else:
         trainer = Trainer(init_fn=init_fn, loss_fn=loss_fn, cfg=tcfg)
         if base_params is not None:
-            # warm-start full training: opt-state moments are zero-init and
-            # shape-only, so swapping param values in place is sound
-            import jax
-
-            trainer.init_state()
-            trainer.state["params"] = jax.tree_util.tree_map(
-                jax.device_put, base_params,
-                trainer.state_shardings["params"])
+            # warm-start full training without the throwaway random init
+            trainer.init_state(initial_params=base_params)
     log_fn = MetricsLogger(jsonl_path=args.metrics_jsonl,
                            use_wandb=args.wandb,
                            config=vars(args)) if (args.metrics_jsonl or

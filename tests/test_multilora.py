@@ -132,3 +132,32 @@ def test_adapter_slot_reuse_resets_factors(params):
     eng.run()
     ref = _run_engine(params, scfg, [(p[1], None)], 5)[0]
     assert h2.tokens == ref
+
+
+def test_adapter_requests_do_not_use_shared_prefix_budget(params):
+    """An adapter request matching the shared prefix stores its WHOLE
+    prompt in its own cache (the shared segment holds base-model KV), so
+    submit() must reject it when only the remainder would fit — and serve
+    it correctly when max_len covers the full prompt."""
+    prefix = [5, 11, 23, 42, 7, 9]
+    prompt = prefix + [30, 31]
+    new = 5
+    a_tree = _adapter(params, seed=55)
+    small = ServeConfig(max_batch=2, max_prompt_len=16, max_len=2 + new)
+    eng = ServeEngine(params, CFG, small, SamplingConfig(greedy=True))
+    eng.register_prefix(prefix, share=True)
+    eng.load_adapter("A", a_tree)
+    eng.submit(prompt, max_new_tokens=new)  # base request: remainder fits
+    with pytest.raises(ValueError, match="exceeds"):
+        eng.submit(prompt, max_new_tokens=new, adapter="A")
+
+    big = ServeConfig(max_batch=2, max_prompt_len=16, max_len=32)
+    eng2 = ServeEngine(params, CFG, big, SamplingConfig(greedy=True))
+    eng2.register_prefix(prefix, share=True)
+    eng2.load_adapter("A", a_tree)
+    h = eng2.submit(prompt, max_new_tokens=new, adapter="A")
+    eng2.run()
+    ref = _run_engine(attach_lora(params, a_tree),
+                      ServeConfig(max_batch=1, max_prompt_len=16,
+                                  max_len=32), [(prompt, None)], new)[0]
+    assert h.tokens == ref
