@@ -279,6 +279,14 @@ def device_prefetch(iterator: Iterable, place_fn,
         stop.set()
 
 
+def _encode_doc(tokenizer, text: str) -> List[int]:
+    if hasattr(tokenizer, "hf") and tokenizer.hf is not None:
+        return tokenizer.hf(text)["input_ids"]
+    if hasattr(tokenizer, "byte"):
+        return tokenizer.byte.encode(text)
+    return tokenizer.encode(text)
+
+
 def text_file_stream(paths: Sequence[str], tokenizer) -> Iterator[List[int]]:
     """Tokenize documents (one per line) from text files."""
     for path in paths:
@@ -287,12 +295,45 @@ def text_file_stream(paths: Sequence[str], tokenizer) -> Iterator[List[int]]:
                 line = line.strip()
                 if not line:
                     continue
-                if hasattr(tokenizer, "hf") and tokenizer.hf is not None:
-                    yield tokenizer.hf(line)["input_ids"]
-                elif hasattr(tokenizer, "byte"):
-                    yield tokenizer.byte.encode(line)
-                else:
-                    yield tokenizer.encode(line)
+                yield _encode_doc(tokenizer, line)
+
+
+def hf_dataset_stream(name: str, tokenizer, *, split: str = "train",
+                      text_key: str = "text", streaming: bool = True,
+                      config: Optional[str] = None) -> Iterator[List[int]]:
+    """On-the-fly tokenized documents from a Hugging Face dataset — the
+    analog of the reference's ``build_dataloaders`` (GPT-NeoX tokenizer over
+    ``openwebtext``, /root/reference/train.py:416-462). Feed the stream into
+    :func:`packed_text_batches` for the concat-and-chunk packing the
+    reference's ``group_texts`` does (:444-462).
+
+    Requires the ``datasets`` package and either network access or a local
+    dataset cache; import/availability errors surface eagerly."""
+    try:
+        from datasets import load_dataset  # type: ignore
+    except Exception as e:  # pragma: no cover - environment without datasets
+        raise ImportError(
+            "hf_dataset_stream needs the `datasets` package (pip install "
+            "datasets) and a reachable/cached dataset") from e
+    ds = (load_dataset(name, config, split=split, streaming=streaming)
+          if config is not None else
+          load_dataset(name, split=split, streaming=streaming))
+    for ex in ds:
+        text = ex.get(text_key) if hasattr(ex, "get") else ex[text_key]
+        if not text:
+            continue
+        yield _encode_doc(tokenizer, text)
+
+
+def shard_stream(it: Iterable, index: int, count: int) -> Iterator:
+    """Round-robin shard of a stream for multi-process training: process
+    ``index`` of ``count`` keeps items ``i % count == index`` (the
+    ``skip_first_batches``-compatible analog of a DistributedSampler)."""
+    if not (0 <= index < count):
+        raise ValueError(f"bad shard index {index} of {count}")
+    for i, item in enumerate(it):
+        if i % count == index:
+            yield item
 
 
 def synthetic_text_batches(*, batch_size: int, seq_len: int, vocab_size: int,

@@ -100,6 +100,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic batches (no dataset needed)")
     p.add_argument("--text-files", nargs="*", default=None,
                    help="one-doc-per-line text files")
+    p.add_argument("--hf-dataset", default=None,
+                   help="Hugging Face dataset name for on-the-fly tokenized "
+                        "training (ref train.py:416-462, e.g. openwebtext); "
+                        "needs the datasets package + network/cache")
+    p.add_argument("--hf-split", default="train")
+    p.add_argument("--hf-text-key", default="text")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process: jax.distributed.initialize() from "
+                        "env rendezvous (ref train.py:698-711) and shard "
+                        "the data stream by process")
     p.add_argument("--pretokenized", nargs="*", default=None,
                    help="pretokenized token files (.bin memmap / .npy), "
                         "re-chunked to --seq-len (ref train.py:474-483)")
@@ -123,12 +133,24 @@ def main(argv=None):
 
     from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
                                          ResamplerConfig, VisionConfig)
-    from kosmosx_tpu.train.data import (image_caption_batches,
+    from kosmosx_tpu.train.data import (hf_dataset_stream,
+                                        image_caption_batches,
                                         packed_text_batches,
                                         pretokenized_batches,
+                                        shard_stream,
                                         synthetic_multimodal_batches,
                                         synthetic_text_batches,
                                         text_file_stream)
+
+    shard = None
+    if args.distributed:
+        import jax
+
+        from kosmosx_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
+        if jax.process_count() > 1:
+            shard = (jax.process_index(), jax.process_count())
     from kosmosx_tpu.train.metrics import MetricsLogger
     from kosmosx_tpu.train.trainer import (TrainConfig, Trainer,
                                            kosmos_loss_fn, lm_loss_fn)
@@ -167,17 +189,33 @@ def main(argv=None):
             batches = pretokenized_batches(
                 args.pretokenized, batch_size=args.batch_size,
                 seq_len=args.seq_len, dtype=args.token_dtype)
+            if shard is not None:
+                batches = shard_stream(batches, *shard)
+        elif args.hf_dataset:
+            from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+
+            tok = KosmosTokenizer()
+            docs = hf_dataset_stream(args.hf_dataset, tok,
+                                     split=args.hf_split,
+                                     text_key=args.hf_text_key)
+            if shard is not None:
+                docs = shard_stream(docs, *shard)
+            batches = packed_text_batches(
+                docs, batch_size=args.batch_size, seq_len=args.seq_len,
+                eos_id=tok.eos_token_id)
         elif args.text_files:
             from kosmosx_tpu.data.tokenizer import KosmosTokenizer
 
             tok = KosmosTokenizer()
+            docs = text_file_stream(args.text_files, tok)
+            if shard is not None:
+                docs = shard_stream(docs, *shard)
             batches = packed_text_batches(
-                text_file_stream(args.text_files, tok),
-                batch_size=args.batch_size, seq_len=args.seq_len,
+                docs, batch_size=args.batch_size, seq_len=args.seq_len,
                 eos_id=tok.eos_token_id)
         else:
-            raise SystemExit("need --synthetic, --pretokenized, or "
-                             "--text-files")
+            raise SystemExit("need --synthetic, --pretokenized, "
+                             "--hf-dataset, or --text-files")
     else:
         from kosmosx_tpu.models.kosmos import Kosmos
 

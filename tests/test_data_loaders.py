@@ -206,3 +206,53 @@ def test_train_cli_kosmos_dataset_dir(tmp_path):
              "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
     assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
     assert "final:" in out.stdout
+
+
+def test_shard_stream_partition():
+    from kosmosx_tpu.train.data import shard_stream
+
+    items = list(range(17))
+    shards = [list(shard_stream(iter(items), i, 4)) for i in range(4)]
+    merged = sorted(t for s in shards for t in s)
+    assert merged == items                       # disjoint + complete
+    assert all(abs(len(s) - 17 / 4) < 2 for s in shards)
+    with pytest.raises(ValueError):
+        list(shard_stream(iter(items), 4, 4))
+
+
+def test_hf_dataset_stream_with_stub(monkeypatch):
+    """hf_dataset_stream mirrors the reference's openwebtext loader
+    (ref train.py:416-462) — driven with a stub `datasets` module (zero
+    network egress in CI)."""
+    import sys
+    import types
+
+    calls = {}
+
+    def load_dataset(name, split=None, streaming=None):
+        calls.update(name=name, split=split, streaming=streaming)
+        return iter([{"text": "ab"}, {"text": ""}, {"text": "c"}])
+
+    stub = types.ModuleType("datasets")
+    stub.load_dataset = load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", stub)
+
+    from kosmosx_tpu.train.data import hf_dataset_stream, packed_text_batches
+
+    class ByteTok:
+        hf = None
+
+        class byte:  # matches KosmosTokenizer's byte-fallback attribute
+            @staticmethod
+            def encode(s):
+                return [ord(c) for c in s]
+
+    docs = list(hf_dataset_stream("openwebtext", ByteTok(), split="train"))
+    assert calls == {"name": "openwebtext", "split": "train",
+                     "streaming": True}
+    assert docs == [[97, 98], [99]]              # empty doc skipped
+    batches = list(packed_text_batches(iter(docs), batch_size=1, seq_len=2,
+                                       eos_id=0))
+    # concat-and-chunk packing: [97 98 0 99 0] -> blocks [97,98], [0,99]
+    assert [b["input_ids"].tolist() for b in batches[:2]] == [[[97, 98]],
+                                                              [[0, 99]]]
