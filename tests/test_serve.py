@@ -625,3 +625,66 @@ def test_bucketed_admission_matches(params):
     eng.run()
     for r, g in zip(ref, got):
         assert r.tokens == g.tokens
+
+
+@pytest.mark.parametrize("seed", [0, pytest.param(1, marks=pytest.mark.slow),
+                                  pytest.param(2, marks=pytest.mark.slow)])
+def test_engine_fuzz_prefix_adapter_temp_surface(params, seed):
+    """Round-3 surface fuzz: randomized workloads where ~half the prompts
+    share a registered prefix (copy OR shared-attention mode), some
+    requests carry a ZERO-initialized adapter (b=0: mathematically the base
+    model), and some pin temperature=0.0 — every combination must still
+    produce the plain engine's greedy outputs."""
+    import random
+
+    from kosmosx_tpu.train.lora import add_lora, strip_lora
+
+    r = random.Random(100 + seed)
+    prefix = [r.randint(4, CFG.vocab_size - 1) for _ in range(6)]
+    zero_adapter = strip_lora(add_lora(jax.random.PRNGKey(5), params, 2))[1]
+
+    n_req = 6
+    reqs = []
+    for i in range(n_req):
+        lp = r.randint(2, 8)
+        tail = [r.randint(4, CFG.vocab_size - 1) for _ in range(lp)]
+        prompt = (prefix + tail) if r.random() < 0.5 else tail
+        adapter = "Z" if r.random() < 0.3 else None
+        temp = 0.0 if r.random() < 0.3 else None
+        eos = r.randint(4, CFG.vocab_size - 1) if r.random() < 0.4 else None
+        reqs.append((prompt, r.randint(1, 8), r.randint(0, 3), eos, adapter,
+                     temp))
+
+    def run(mode, lag=0, chunk=0, block=0):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_batch=3, max_prompt_len=16, max_len=96,
+                        sync_lag=lag, prefill_chunk=chunk,
+                        decode_block=block),
+            SamplingConfig(greedy=True))
+        eng.load_adapter("Z", zero_adapter)
+        if mode == "copy":
+            eng.register_prefix(prefix)
+        elif mode == "share":
+            eng.register_prefix(prefix, share=True)
+        handles = []
+        i = 0
+        guard = 0
+        while i < n_req or eng.step():
+            guard += 1
+            assert guard < 500, "engine failed to drain"
+            while i < n_req and reqs[i][2] <= guard:
+                prompt, budget, _, eos, adapter, temp = reqs[i]
+                handles.append(eng.submit(
+                    prompt, max_new_tokens=budget, eos_id=eos,
+                    adapter=adapter, temperature=temp))
+                i += 1
+        eng.run()
+        return [h.tokens for h in handles]
+
+    ref = run("none")
+    for mode, lag, chunk, block in [
+            ("copy", 0, 0, 0), ("copy", 2, 0, 2), ("copy", 1, 4, 0),
+            ("share", 0, 0, 0), ("share", 2, 0, 2), ("share", 1, 4, 0)]:
+        got = run(mode, lag, chunk, block)
+        assert got == ref, (mode, lag, chunk, block)
