@@ -179,7 +179,14 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
                          activation_fp32=cfg.activation_fp32, dtype=dtype,
                          aux_weight=cfg.moe_aux_weight,
                          z_weight=cfg.moe_z_weight,
-                         rng=rngs[2], dropout_rate=cfg.dropout)
+                         rng=rngs[2], dropout_rate=cfg.dropout,
+                         # pads route nowhere; cached (inference) paths use
+                         # no-drop buffers so routing is padding/group-size
+                         # independent — a padded serving prefill matches an
+                         # unpadded forward exactly (nn/moe.py)
+                         valid=(segment_ids >= 0) if segment_ids is not None
+                         else None,
+                         no_drop=cache is not None)
     else:
         h = multiway_apply(
             cfg.multiway,

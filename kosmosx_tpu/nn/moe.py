@@ -78,13 +78,16 @@ def moe_capacity(tokens_per_group: int, num_experts: int, top_k: int,
 
 
 def _routing(probs: jax.Array, num_experts: int, top_k: int,
-             capacity: int) -> jax.Array:
+             capacity: int, valid: Optional[jax.Array] = None) -> jax.Array:
     """probs (G, T, E) -> combine (G, T, E, C) fp32.
 
     Greedy top-k without replacement; slot positions assigned in token order
     within each group (earlier tokens keep their slots on overflow, the
     GShard priority rule — causally sensible for decoders).
-    """
+
+    ``valid`` (G, T): invalid (pad) tokens are routed NOWHERE — they get no
+    gates and, critically, consume no expert capacity (otherwise padded
+    batches steal slots from real tokens)."""
     combine = jnp.zeros(probs.shape[:2] + (num_experts, capacity),
                         dtype=jnp.float32)
     counts = jnp.zeros(probs.shape[:1] + (num_experts,), dtype=jnp.int32)
@@ -93,6 +96,8 @@ def _routing(probs: jax.Array, num_experts: int, top_k: int,
         idx = jnp.argmax(p, axis=-1)                        # (G, T)
         gate = jnp.take_along_axis(p, idx[..., None], axis=-1)[..., 0]
         oh = jax.nn.one_hot(idx, num_experts, dtype=jnp.int32)   # (G, T, E)
+        if valid is not None:
+            oh = oh * valid.astype(jnp.int32)[..., None]
         # slot index for each token inside its chosen expert's buffer
         pos = jnp.cumsum(oh, axis=1) - 1 + counts[:, None, :]    # (G, T, E)
         counts = counts + oh.sum(axis=1)
@@ -111,6 +116,7 @@ def moe_ffn(params, x, *, num_experts: int, top_k: int = 2,
             activation_fp32: bool = True, dtype=None,
             aux_weight: float = 0.01, z_weight: float = 1e-3,
             rng: Optional[jax.Array] = None, dropout_rate: float = 0.0,
+            valid: Optional[jax.Array] = None, no_drop: bool = False,
             ) -> Tuple[jax.Array, jax.Array]:
     """x (B, S, D) -> (y (B, S, D), aux fp32 scalar).
 
@@ -118,25 +124,43 @@ def moe_ffn(params, x, *, num_experts: int, top_k: int = 2,
     training objective (0-weighting it detaches routing from the loss and
     experts collapse). Dropped (over-capacity) tokens produce y=0 — the
     caller's residual add passes them through.
+
+    ``valid`` (B, S): pad positions route nowhere — no gates, no capacity
+    consumed, excluded from the aux losses. ``no_drop=True`` sizes the
+    expert buffers at T (every token always fits): the INFERENCE mode —
+    routing becomes independent of group size and padding, so a padded
+    serving prefill produces bit-identical outputs to an unpadded forward
+    (training keeps capacity_factor drop semantics).
     """
     assert top_k <= num_experts, (top_k, num_experts)
     B, S, D = x.shape
-    capacity = moe_capacity(S, num_experts, top_k, capacity_factor)
+    capacity = (S if no_drop
+                else moe_capacity(S, num_experts, top_k, capacity_factor))
 
     # Router in fp32: softmax over experts is precision-critical.
     logits = jnp.einsum("gtd,de->gte", x.astype(jnp.float32),
                         params["router"]["w"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
 
-    combine = _routing(probs, num_experts, top_k, capacity)   # (G,T,E,C)
+    combine = _routing(probs, num_experts, top_k, capacity,
+                       valid=valid)                           # (G,T,E,C)
 
     # Load-balance loss over the top-1 assignment (Switch): balanced -> 1.0.
+    # Means run over VALID tokens only (pads would dilute both factors).
     top1 = jax.nn.one_hot(jnp.argmax(probs, axis=-1), num_experts,
                           dtype=jnp.float32)
-    f = top1.reshape(-1, num_experts).mean(axis=0)
-    p_mean = probs.reshape(-1, num_experts).mean(axis=0)
+    if valid is not None:
+        w = valid.astype(jnp.float32).reshape(-1, 1)
+        denom = jnp.maximum(w.sum(), 1.0)
+        f = (top1.reshape(-1, num_experts) * w).sum(axis=0) / denom
+        p_mean = (probs.reshape(-1, num_experts) * w).sum(axis=0) / denom
+        z_all = jax.nn.logsumexp(logits, axis=-1).reshape(-1) ** 2
+        z_loss = (z_all * w[:, 0]).sum() / denom
+    else:
+        f = top1.reshape(-1, num_experts).mean(axis=0)
+        p_mean = probs.reshape(-1, num_experts).mean(axis=0)
+        z_loss = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
     lb_loss = num_experts * jnp.sum(f * p_mean)
-    z_loss = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
     aux = (aux_weight * lb_loss + z_weight * z_loss).astype(jnp.float32)
 
     cdt = dtype or x.dtype

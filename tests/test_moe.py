@@ -221,3 +221,49 @@ def test_moe_sharded_train_step_decreases_loss(devices):
     init_params = dec.init_decoder(jax.random.PRNGKey(tcfg.seed), cfg)
     li, _ = loss_fn(init_params, batches[0], jax.random.PRNGKey(0))
     assert float(l0) < float(li), (float(l0), float(li))
+
+
+def test_moe_padding_independence():
+    """Pads must route NOWHERE (zero output, zero capacity) and with
+    no_drop inference buffers a token's output must not depend on how much
+    padding sits in its group — the serving-prefill invariant."""
+    from kosmosx_tpu.nn.moe import moe_ffn
+
+    key = jax.random.PRNGKey(3)
+    D, E = 16, 4
+    params = init_moe_ffn(key, D, 32, E)
+    x_real = jax.random.normal(jax.random.fold_in(key, 1), (2, 5, D))
+    y_real, _ = moe_ffn(params, x_real, num_experts=E, top_k=2,
+                        valid=jnp.ones((2, 5), bool), no_drop=True)
+    for pad in (3, 11):
+        x_pad = jnp.concatenate(
+            [x_real, jnp.zeros((2, pad, D), x_real.dtype)], axis=1)
+        valid = jnp.concatenate(
+            [jnp.ones((2, 5), bool), jnp.zeros((2, pad), bool)], axis=1)
+        y_pad, _ = moe_ffn(params, x_pad, num_experts=E, top_k=2,
+                           valid=valid, no_drop=True)
+        np.testing.assert_allclose(np.asarray(y_pad[:, :5]),
+                                   np.asarray(y_real), atol=1e-5)
+        # pad positions produce exactly zero (residual pass-through)
+        assert float(jnp.abs(y_pad[:, 5:]).max()) == 0.0
+
+
+def test_moe_serving_matches_one_shot_generation():
+    """The serving engine pads prompts to max_prompt_len; with pad-masked
+    no-drop routing its greedy tokens must equal unpadded generate_text
+    (this was a real bug: pads consumed expert capacity)."""
+    from kosmosx_tpu.generate import SamplingConfig, generate_text
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    cfg = dataclasses.replace(MOE_CFG, scan_layers=True)
+    params = dec.init_decoder(jax.random.PRNGKey(0), cfg)
+    for p in ([5, 9, 2, 33], [7, 3, 5, 22, 8, 11, 40]):
+        ref = generate_text(params, cfg, jnp.asarray([p], jnp.int32),
+                            SamplingConfig(max_new_tokens=6, greedy=True))
+        eng = ServeEngine(params, cfg,
+                          ServeConfig(max_batch=2, max_prompt_len=16,
+                                      max_len=48),
+                          SamplingConfig(greedy=True))
+        h = eng.submit(p, max_new_tokens=6)
+        eng.run()
+        assert h.tokens == [int(t) for t in np.asarray(ref[0])], p
