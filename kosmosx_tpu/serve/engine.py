@@ -791,6 +791,47 @@ class ServeEngine:
         self.prefix_hits += 1
         return self.prefix_cache[best[0]]
 
+    def warmup(self, images=None, adapters: bool = True) -> int:
+        """Compile every program this engine will dispatch before real
+        traffic: one throwaway request per admission flavor (each prompt
+        bucket, each loaded adapter when ``adapters``, a multimodal request
+        when ``images`` is given, prefix hits when prefixes are registered)
+        plus the decode/chunk/spec step programs, then drain. On a remote
+        chip the first compile of each program costs seconds to minutes —
+        pay it at deploy time, not on the first user request. Returns the
+        number of warmup requests run. Requires an idle engine."""
+        if self.num_active or self._inflight or self.pending:
+            raise ValueError("warmup requires an idle engine")
+        import numpy as np
+
+        flavors = []
+        buckets = sorted(self.scfg.prompt_buckets) or [None]
+        for b in buckets:
+            lp = min(2, self.scfg.max_prompt_len - 1) if b is None \
+                else min(b, self.scfg.max_prompt_len - 1)
+            flavors.append({"prompt": [self.scfg.pad_id + 1] * max(lp, 1)})
+        if adapters:
+            for name in self.adapters:
+                flavors.append({"prompt": [self.scfg.pad_id + 1] * 2,
+                                "adapter": name})
+        if images is not None:
+            flavors.append({"prompt": [self.scfg.pad_id + 1] * 2,
+                            "images": np.asarray(images)})
+        for key in list(self.prefix_cache)[:1]:
+            flavors.append({"prompt": list(key) + [self.scfg.pad_id + 1]})
+        if self.shared_seg is not None:
+            flavors.append({"prompt": list(self.shared_seg["key"])
+                            + [self.scfg.pad_id + 1]})
+        hits_before = self.prefix_hits
+        handles = [self.submit(max_new_tokens=2, **f) for f in flavors]
+        self.run()
+        assert all(h.done for h in handles)
+        self.prefix_hits = hits_before  # warmup must not skew stats
+        self.emitted_total = 0
+        self.accepted_total = 0
+        self.steps = 0
+        return len(flavors)
+
     def cancel(self, req: Request) -> bool:
         """Abort a request: drop it from the pending queue or free its slot.
         Tokens already committed stay on ``req.tokens``; tokens still in

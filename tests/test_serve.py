@@ -688,3 +688,34 @@ def test_engine_fuzz_prefix_adapter_temp_surface(params, seed):
             ("share", 0, 0, 0), ("share", 2, 0, 2), ("share", 1, 4, 0)]:
         got = run(mode, lag, chunk, block)
         assert got == ref, (mode, lag, chunk, block)
+
+
+def test_warmup_compiles_then_serves_clean(params):
+    """warmup() exercises every admission flavor, resets stats, and leaves
+    subsequent outputs bit-identical to a cold engine."""
+    from kosmosx_tpu.train.lora import add_lora, strip_lora
+
+    prefix = [5, 11, 23]
+    scfg = ServeConfig(max_batch=2, max_prompt_len=16, max_len=64,
+                       prompt_buckets=(4, 8))
+    zero = strip_lora(add_lora(jax.random.PRNGKey(5), params, 2))[1]
+
+    eng = ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True))
+    eng.register_prefix(prefix)
+    eng.load_adapter("Z", zero)
+    n = eng.warmup()
+    assert n >= 4  # 2 buckets + adapter + prefix hit
+    assert eng.emitted_total == 0 and eng.steps == 0 and eng.prefix_hits == 0
+
+    p = _prompts(1, key=81)[0]
+    h = eng.submit(p, max_new_tokens=6)
+    eng.run()
+    cold = ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True))
+    hc = cold.submit(p, max_new_tokens=6)
+    cold.run()
+    assert h.tokens == hc.tokens
+    # warmup demands an idle engine
+    eng.submit(p, max_new_tokens=4)
+    with pytest.raises(ValueError, match="idle"):
+        eng.warmup()
+    eng.run()
