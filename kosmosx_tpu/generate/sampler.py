@@ -42,12 +42,41 @@ class SamplingConfig:
 
 def sample_logits(logits: jax.Array, rng: jax.Array,
                   cfg: SamplingConfig,
-                  temps: Optional[jax.Array] = None) -> jax.Array:
+                  temps: Optional[jax.Array] = None,
+                  rows=None) -> jax.Array:
     """logits (B, V) -> token ids (B,).
 
-    ``temps`` (B,) — per-ROW temperature overrides (serving: every request
-    can pick its own). Sentinel semantics per row: < 0 = use ``cfg``'s
-    static behavior; 0 = greedy; > 0 = plain temperature sampling."""
+    Per-ROW overrides (serving: every request picks its own sampling):
+    either ``temps`` (B,) alone — sentinel < 0 = use ``cfg``, 0 = greedy,
+    > 0 = temperature sampling — or ``rows = (on, temps, top_ks, top_ps)``
+    with ``on`` (B,) bool selecting rows whose (temp, top-k, top-p) fully
+    replace the static config (top_ks 0 = off, top_ps 1.0 = off; rows with
+    ``on`` False keep ``cfg``'s behavior). All static shapes: per-row top-k
+    is a rank threshold against the row's k-th sorted logit, per-row top-p
+    a cumulative-probability cutoff."""
+    if rows is not None:
+        on, t, ks, ps = rows
+        base = sample_logits(logits, rng, cfg)
+        l32 = logits.astype(jnp.float32)
+        neg = -jnp.inf
+        x = l32 / jnp.maximum(t, 1e-6)[:, None]
+        v = x.shape[-1]
+        # per-row top-k: keep logits >= the row's k-th largest
+        sx = jnp.sort(x, axis=-1)[:, ::-1]
+        kth = jnp.take_along_axis(
+            sx, jnp.clip(ks - 1, 0, v - 1)[:, None], axis=-1)
+        x = jnp.where((ks[:, None] > 0) & (x < kth), neg, x)
+        # per-row top-p over the (top-k-filtered) distribution
+        sx2 = jnp.sort(x, axis=-1)[:, ::-1]
+        pr = jax.nn.softmax(sx2, axis=-1)
+        cum = jnp.cumsum(pr, axis=-1)
+        cidx = jnp.sum(cum < ps[:, None], axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sx2, cidx, axis=-1)
+        x = jnp.where((ps[:, None] < 1.0) & (x < cutoff), neg, x)
+        sampled = jax.random.categorical(rng, x, axis=-1).astype(jnp.int32)
+        greedy = jnp.argmax(l32, axis=-1).astype(jnp.int32)
+        per_row = jnp.where(t <= 1e-6, greedy, sampled)
+        return jnp.where(on, per_row, base)
     if temps is not None:
         base = sample_logits(logits, rng, cfg)
         l32 = logits.astype(jnp.float32)

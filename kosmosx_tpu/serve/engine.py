@@ -131,7 +131,12 @@ class Request:
     eos_id: Optional[int] = None
     images: Any = None           # optional (M, 3, H, W) for multimodal
     adapter: Optional[str] = None  # LoRA adapter name (load_adapter)
-    temperature: Optional[float] = None  # per-request sampling (0 = greedy)
+    # per-request sampling overrides: when ANY is set, this request's row
+    # fully replaces the engine SamplingConfig (temp 0 = greedy; top_k 0 =
+    # off; top_p 1.0 = off; unset fields default to 1.0 / 0 / 1.0)
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
     # filled by the engine:
     id: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)
@@ -147,7 +152,7 @@ class Request:
 def _prefill_one_jit(params, prompt, length, rng, cfg: MagnetoConfig,
                      scfg: SamplingConfig, max_len: int,
                      double_scale: bool = False, interpret: bool = False,
-                     temps=None):
+                     rows=None):
     """prompt (1, P) -> (first_token (1,), batch-1 caches).
 
     ``double_scale`` must match the engine's decode convention (the Kosmos
@@ -164,14 +169,14 @@ def _prefill_one_jit(params, prompt, length, rng, cfg: MagnetoConfig,
         x, _ = dec.forward_embedding(params, cfg, prompt)
     last_logits, caches = _prefill(params, cfg, x, caches, length, seg,
                                    interpret=interpret)
-    first = sample_logits(last_logits, rng, scfg, temps=temps)
+    first = sample_logits(last_logits, rng, scfg, rows=rows)
     return first, caches
 
 
 @functools.partial(jax.jit, static_argnames=("kcfg", "scfg", "max_len"))
 def _prefill_mm_one_jit(params, prompt, images, length, rng,
                         kcfg: KosmosConfig, scfg: SamplingConfig,
-                        max_len: int, temps=None):
+                        max_len: int, rows=None):
     """Multimodal admission: encode image(s), splice, prefill (batch 1).
     Returns (first_token (1,), caches, spliced_length (1,))."""
     from kosmosx_tpu.data.splice import splice_embeddings
@@ -197,7 +202,7 @@ def _prefill_mm_one_jit(params, prompt, images, length, rng,
     caches = dec.init_cache(dcfg, batch=1, max_len=max_len)
     last_logits, caches = _prefill(params["decoder"], dcfg, x, caches,
                                    full_length, seg)
-    first = sample_logits(last_logits, rng, scfg, temps=temps)
+    first = sample_logits(last_logits, rng, scfg, rows=rows)
     return first, caches, full_length
 
 
@@ -276,7 +281,7 @@ def _insert_slot_jit(caches, caches_one, slot):
 def _decode_core(params, last_tokens, caches, index, active, rng,
                  cfg: MagnetoConfig, scfg: SamplingConfig,
                  pad_id: int = 1, double_scale: bool = False,
-                 shared=None, temps=None, interpret: bool = False):
+                 shared=None, rows=None, interpret: bool = False):
     """One decode step for every slot. Inactive slots still compute (static
     shapes) but their index does not advance and their token is ignored.
 
@@ -302,7 +307,7 @@ def _decode_core(params, last_tokens, caches, index, active, rng,
                                shared_on=shared_on, pos_offset=pos_offset,
                                interpret=interpret)
     logits = dec.output_logits(params, h, cfg)[:, 0]
-    nxt = sample_logits(logits, rng, scfg, temps=temps)
+    nxt = sample_logits(logits, rng, scfg, rows=rows)
     index = index + active.astype(index.dtype)
     return nxt, caches, index
 
@@ -313,10 +318,10 @@ def _decode_core(params, last_tokens, caches, index, active, rng,
 def _decode_step_jit(params, last_tokens, caches, index, active, rng,
                      cfg: MagnetoConfig, scfg: SamplingConfig,
                      pad_id: int = 1, double_scale: bool = False,
-                     shared=None, temps=None, interpret: bool = False):
+                     shared=None, rows=None, interpret: bool = False):
     return _decode_core(params, last_tokens, caches, index, active, rng,
                         cfg, scfg, pad_id=pad_id, double_scale=double_scale,
-                        shared=shared, temps=temps, interpret=interpret)
+                        shared=shared, rows=rows, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "block",
@@ -326,7 +331,7 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
 def _decode_block_jit(params, last_tokens, caches, index, active, rng,
                       cfg: MagnetoConfig, scfg: SamplingConfig, block: int,
                       pad_id: int = 1, double_scale: bool = False,
-                      shared=None, temps=None, interpret: bool = False):
+                      shared=None, rows=None, interpret: bool = False):
     """``block`` decode steps for every slot in ONE dispatch (lax.scan over
     the single-step core, token feedback on device). Amortizes the per-step
     dispatch/link overhead — on the remote chip one dispatch costs ~3 ms on
@@ -336,7 +341,7 @@ def _decode_block_jit(params, last_tokens, caches, index, active, rng,
         nxt, caches, index = _decode_core(
             params, last, caches, index, active, jax.random.fold_in(rng, k),
             cfg, scfg, pad_id=pad_id, double_scale=double_scale,
-            shared=shared, temps=temps, interpret=interpret)
+            shared=shared, rows=rows, interpret=interpret)
         return (nxt, caches, index), nxt
 
     (last, caches, index), toks = jax.lax.scan(
@@ -408,7 +413,7 @@ def _prefill_chunk_pool_jit(params, tokens, seg, caches, index, prefill_mask,
                             boundary, rng, cfg: MagnetoConfig,
                             scfg: SamplingConfig,
                             double_scale: bool = False, shared=None,
-                            temps=None):
+                            rows=None):
     """Ingest one prompt chunk for every prefilling slot.
 
     tokens (B, K) — the next K prompt tokens per prefilling slot (pads
@@ -439,7 +444,7 @@ def _prefill_chunk_pool_jit(params, tokens, seg, caches, index, prefill_mask,
         h, jnp.broadcast_to(boundary[:, None, None],
                             (h.shape[0], 1, h.shape[2])), axis=1)
     blog = dec.output_logits(params, hb, cfg)[:, 0].astype(jnp.float32)
-    first = sample_logits(blog, rng, scfg, temps=temps)
+    first = sample_logits(blog, rng, scfg, rows=rows)
     n_valid = jnp.sum((seg >= 0).astype(jnp.int32), axis=1)
     index = index + jnp.where(prefill_mask, n_valid, 0)
     return first, caches, index
@@ -527,10 +532,14 @@ class ServeEngine:
         # multi-LoRA serving (load_adapter / submit(adapter=...)): per-slot
         # adapter factor stacks grafted into the decode params — every slot
         # can run a different fine-tune over the one base model
-        # per-request temperature (-1 sentinel = engine-default sampling);
-        # jits take the temps vector only once a request has asked for one
-        self.slot_temp = jnp.full((b,), -1.0, jnp.float32)
-        self._use_temps = False
+        # per-request sampling overrides (temperature / top-k / top-p):
+        # rows flagged in slot_override fully replace the engine's static
+        # SamplingConfig; jits take the vectors only once a request asks
+        self.slot_override = jnp.zeros((b,), bool)
+        self.slot_temp = jnp.ones((b,), jnp.float32)
+        self.slot_topk = jnp.zeros((b,), jnp.int32)
+        self.slot_topp = jnp.ones((b,), jnp.float32)
+        self._use_rows = False
         self.adapters: Dict[str, Any] = {}
         self._slot_lora = None       # mirror tree, leaves stacked over slots
         self._slot_axes = None       # slot axis per leaf (1 under scan stack)
@@ -558,21 +567,27 @@ class ServeEngine:
     def submit(self, prompt, max_new_tokens: int = 64,
                eos_id: Optional[int] = None, images=None,
                adapter: Optional[str] = None,
-               temperature: Optional[float] = None) -> Request:
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> Request:
         import numpy as np
 
         if adapter is not None and adapter not in self.adapters:
             raise KeyError(f"unknown adapter {adapter!r}; load_adapter first")
         if adapter is not None and images is not None:
             raise NotImplementedError("multi-LoRA serving is text-only")
-        if temperature is not None:
-            if temperature < 0:
-                raise ValueError("temperature must be >= 0")
-            if self.spec:
-                raise NotImplementedError(
-                    "per-request temperature with speculative serving is "
-                    "not implemented (the draft/verify acceptance rule is "
-                    "engine-global); set the engine SamplingConfig instead")
+        if temperature is not None and temperature < 0:
+            raise ValueError("temperature must be >= 0")
+        if top_k is not None and top_k < 0:
+            raise ValueError("top_k must be >= 0")
+        if top_p is not None and not (0.0 < top_p <= 1.0):
+            raise ValueError("top_p must be in (0, 1]")
+        if (temperature is not None or top_k is not None
+                or top_p is not None) and self.spec:
+            raise NotImplementedError(
+                "per-request sampling with speculative serving is not "
+                "implemented (the draft/verify acceptance rule is "
+                "engine-global); set the engine SamplingConfig instead")
 
         # ONE host fetch for device-array prompts: per-element int() on a
         # jax array costs one link RTT per token (~3.4 s / 128 tokens on
@@ -612,7 +627,8 @@ class ServeEngine:
                 f"cache length {self.scfg.max_len}")
         req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
                       eos_id=eos_id, images=images, adapter=adapter,
-                      temperature=temperature, id=self._next_id)
+                      temperature=temperature, top_k=top_k, top_p=top_p,
+                      id=self._next_id)
         self._next_id += 1
         self.pending.append(req)
         return req
@@ -762,9 +778,27 @@ class ServeEngine:
         return self._live_params if self._live_params is not None \
             else self.dec_params
 
-    def _temps(self):
-        """Per-slot temperature vector, or None until any request asks."""
-        return self.slot_temp if self._use_temps else None
+    @staticmethod
+    def _row1(req: Request):
+        """Batch-1 rows tuple for admission prefills, or None."""
+        if req.temperature is None and req.top_k is None \
+                and req.top_p is None:
+            return None
+        return (jnp.ones((1,), bool),
+                jnp.asarray([1.0 if req.temperature is None
+                             else float(req.temperature)], jnp.float32),
+                jnp.asarray([0 if req.top_k is None else int(req.top_k)],
+                            jnp.int32),
+                jnp.asarray([1.0 if req.top_p is None
+                             else float(req.top_p)], jnp.float32))
+
+    def _rows(self):
+        """Per-slot sampling-override vectors (on, temp, top_k, top_p), or
+        None until any request asks for one."""
+        if not self._use_rows:
+            return None
+        return (self.slot_override, self.slot_temp, self.slot_topk,
+                self.slot_topp)
 
     def _shared(self):
         """(shared_caches, shared_on, pos_offset) for the jitted cores."""
@@ -886,11 +920,20 @@ class ServeEngine:
         s_idx = self.kcfg.splice_index if self.kcfg is not None else 0
         # per-slot LoRA adapter (cleared to zeros when the request has none)
         self._set_slot_adapter(slot, req.adapter)
-        # per-request temperature (-1 sentinel = engine-default sampling)
-        if req.temperature is not None:
-            self._use_temps = True
+        # per-request sampling overrides (flagged rows fully replace the
+        # engine's static SamplingConfig; temperature defaults to 1.0 when
+        # only top-k/top-p are given)
+        override = (req.temperature is not None or req.top_k is not None
+                    or req.top_p is not None)
+        if override:
+            self._use_rows = True
+        self.slot_override = self.slot_override.at[slot].set(override)
         self.slot_temp = self.slot_temp.at[slot].set(
-            -1.0 if req.temperature is None else float(req.temperature))
+            1.0 if req.temperature is None else float(req.temperature))
+        self.slot_topk = self.slot_topk.at[slot].set(
+            0 if req.top_k is None else int(req.top_k))
+        self.slot_topp = self.slot_topp.at[slot].set(
+            1.0 if req.top_p is None else float(req.top_p))
         # shared-prefix segment: matching slots attend it in place (no
         # copy); their own cache starts at 0 with positions shifted by P.
         # Adapter requests skip BOTH prefix paths: registered prefixes were
@@ -976,22 +1019,20 @@ class ServeEngine:
         length = jnp.asarray([len(praw)], jnp.int32)
         if req.images is not None:
             images = req.images if req.images.ndim == 5 else req.images[None]
-            t1 = (jnp.asarray([req.temperature], jnp.float32)
-                  if req.temperature is not None else None)
+            r1 = self._row1(req)
             first, c1, full_len = _prefill_mm_one_jit(
                 self.params, prompt, images, length, self._fold(),
-                self.kcfg, self.sampling, self.scfg.max_len, temps=t1)
+                self.kcfg, self.sampling, self.scfg.max_len, rows=r1)
             idx = full_len
         else:
             pparams = (self.adapters[req.adapter]["params"]
                        if req.adapter is not None else self.dec_params)
-            t1 = (jnp.asarray([req.temperature], jnp.float32)
-                  if req.temperature is not None else None)
+            r1 = self._row1(req)
             first, c1 = _prefill_one_jit(
                 pparams, prompt, length, self._fold(), self.cfg,
                 self.sampling, self.scfg.max_len,
                 double_scale=self.double_scale, interpret=self.interpret,
-                temps=t1)
+                rows=r1)
             idx = length
         self.caches = _insert_slot_jit(self.caches, c1, slot)
         if self.spec:
@@ -1030,7 +1071,7 @@ class ServeEngine:
             self.caches, self.index, jnp.asarray(mask),
             jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
             double_scale=self.double_scale, shared=self._shared(),
-            temps=self._temps())
+            rows=self._rows())
         if self.spec:
             _, self.draft_caches, self.index_d = _prefill_chunk_pool_jit(
                 self.draft_params, jnp.asarray(chunk), jnp.asarray(seg),
@@ -1106,7 +1147,7 @@ class ServeEngine:
             self.caches, self.index, jnp.asarray(mask),
             jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
             double_scale=self.double_scale, shared=self._shared(),
-            temps=self._temps())
+            rows=self._rows())
         if completing:
             toks = jax.device_get(first)
             for slot in completing:
@@ -1179,7 +1220,7 @@ class ServeEngine:
                     active, self._fold(), self.cfg, self.sampling,
                     self.block, pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
-                    shared=self._shared(), temps=self._temps(),
+                    shared=self._shared(), rows=self._rows(),
                     interpret=self.interpret)
                 n_emit = [self.block if a else 0 for a in active_list]
             else:
@@ -1188,7 +1229,7 @@ class ServeEngine:
                     active, self._fold(), self.cfg, self.sampling,
                     pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
-                    shared=self._shared(), temps=self._temps(),
+                    shared=self._shared(), rows=self._rows(),
                     interpret=self.interpret)
                 # the decode feedback loop stays on DEVICE (last <- nxt):
                 # rebuilding ``last`` host-side would cost a host→device

@@ -119,7 +119,8 @@ class ServeServer:
             [int(x) for x in prompt],
             max_new_tokens=int(p.get("max_tokens", self.default_max_tokens)),
             eos_id=p.get("eos_id"), adapter=p.get("adapter"),
-            temperature=p.get("temperature"))
+            temperature=p.get("temperature"), top_k=p.get("top_k"),
+            top_p=p.get("top_p"))
 
     def _dispatch_loop(self):
         eng = self.engine

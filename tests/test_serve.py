@@ -719,3 +719,30 @@ def test_warmup_compiles_then_serves_clean(params):
     with pytest.raises(ValueError, match="idle"):
         eng.warmup()
     eng.run()
+
+
+def test_per_request_top_k_and_top_p(params):
+    """Deterministic corners: top_k=1 (any temperature) and top_p→0 both
+    reduce to argmax, so they must reproduce the greedy reference while
+    sharing the pool with an unconstrained sampling request."""
+    prompts = _prompts(3, key=77)
+    new = 6
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=3, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True),
+                      rng=jax.random.PRNGKey(4))
+    h_k1 = eng.submit(prompts[0], max_new_tokens=new, temperature=3.0,
+                      top_k=1)
+    h_p0 = eng.submit(prompts[1], max_new_tokens=new, temperature=2.0,
+                      top_p=1e-6)
+    h_hot = eng.submit(prompts[2], max_new_tokens=new, temperature=5.0)
+    eng.run()
+    for p, h in ((prompts[0], h_k1), (prompts[1], h_p0)):
+        ref = generate_text(params, CFG, jnp.asarray([p], jnp.int32),
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+        assert h.tokens == [int(t) for t in np.asarray(ref[0])], p
+    assert len(h_hot.tokens) == new
+    with pytest.raises(ValueError, match="top_p"):
+        eng.submit(prompts[0], top_p=0.0)
+    with pytest.raises(ValueError, match="top_k"):
+        eng.submit(prompts[0], top_k=-1)
