@@ -106,6 +106,14 @@ class MagnetoConfig:
     # cache read bandwidth at decode; dequant fuses into the attention
     # matmuls like the W8 weight path — see BASELINE.md study).
     kv_cache_dtype: Optional[str] = None
+    # Rolling KV window for unbounded generation (StreamingLLM-style):
+    # > 0 bounds the decode cache to kv_window positions — the first
+    # kv_sink positions are pinned (attention sinks) and the rest is a
+    # ring buffer, so memory is O(window) at any generation length.
+    # Positions past the learned table cap are clamped to its last row
+    # (the xPos rotation stays exact/absolute). 0 = full append-only cache.
+    kv_window: int = 0
+    kv_sink: int = 4
     # Mixture-of-experts FFN (nn/moe.py). 0 = dense FFN (reference parity;
     # the reference's only expert structure is the static multiway split).
     # >0 replaces every layer's FFN with a token-routed MoE of that many

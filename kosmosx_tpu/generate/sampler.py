@@ -134,15 +134,22 @@ def _decode_scan(params, cfg: MagnetoConfig, first_tokens, caches,
     """
     b = first_tokens.shape[0]
 
+    # rolling-cache generation clamps positions past the learned table's
+    # last usable row (StreamingLLM semantics: xPos carries relative order
+    # exactly; the absolute table saturates)
+    pos_cap = cfg.max_target_positions - 1
+
     def step(carry, step_rng):
         tokens, caches, index, done = carry
+        off = (jnp.minimum(index, pos_cap) if cfg.kv_window > 0
+               else index)
         if double_scale:
             emb = dec.embed_only(params, cfg, tokens[:, None])
             x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
-                                         offset=index[:, None])
+                                         offset=off[:, None])
         else:
             x, _ = dec.forward_embedding(params, cfg, tokens[:, None],
-                                         offset=index[:, None])
+                                         offset=off[:, None])
         h, caches = dec.run_layers(params, x, cfg, caches=caches,
                                    cache_index=index)
         logits = dec.output_logits(params, h, cfg)[:, 0]
@@ -166,6 +173,8 @@ def _generate_text_jit(params, prompt, prompt_lengths, rng,
                        cfg: MagnetoConfig, scfg: SamplingConfig, max_len: int,
                        interpret: bool = False):
     b, lp = prompt.shape
+    if cfg.kv_window > 0:
+        max_len = min(max_len, cfg.kv_window)  # O(window) memory
     caches = dec.init_cache(cfg, batch=b, max_len=max_len)
     seg = jnp.where(jnp.arange(lp)[None, :] < prompt_lengths[:, None], 0, -1
                     ).astype(jnp.int32)
@@ -190,7 +199,20 @@ def generate_text(params, cfg: MagnetoConfig, prompt: jax.Array,
     if prompt_lengths is None:
         prompt_lengths = jnp.full((b,), lp, jnp.int32)
     max_len = lp + sampling.max_new_tokens
-    if max_len > cfg.max_target_positions:
+    if cfg.kv_window > 0:
+        # rolling cache: unbounded generation length; only the PROMPT must
+        # fit the window (prefill is a single un-wrapped write) and the
+        # table (prefill positions are not clamped)
+        if cfg.kv_sink >= cfg.kv_window:
+            raise ValueError(f"kv_sink ({cfg.kv_sink}) must be < kv_window "
+                             f"({cfg.kv_window})")
+        if lp > cfg.kv_window:
+            raise ValueError(f"prompt ({lp}) exceeds kv_window "
+                             f"({cfg.kv_window})")
+        if lp > cfg.max_target_positions:
+            raise ValueError(f"prompt ({lp}) exceeds the learned position "
+                             f"table ({cfg.max_target_positions})")
+    elif max_len > cfg.max_target_positions:
         # decode offsets are traced, so the positional table cannot catch
         # this itself (it would silently clamp); validate the static bound
         raise ValueError(

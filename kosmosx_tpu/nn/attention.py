@@ -214,6 +214,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                    shared_kv: Optional[Dict[str, jax.Array]] = None,
                    shared_on: Optional[jax.Array] = None,
                    pos_offset: Optional[jax.Array] = None,
+                   kv_window: int = 0, kv_sink: int = 4,
                    dtype=None,
                    interpret: bool = False,
                    sequence_axis: Optional[str] = None,
@@ -353,7 +354,23 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
         # HBM writes per step, vs the O(Lmax) full-cache rewrite of a
         # one-hot-matmul update. Slots at/after a row's write position are
         # invisible until written (kv_len mask below), so overwrite is safe.
-        pos = idx[:, None] + jnp.arange(l)[None, :]           # (B, L)
+        ring = kv_window > 0 and l == 1
+        if ring:
+            # StreamingLLM-style rolling cache: the first kv_sink positions
+            # are pinned (attention sinks), the rest is a ring buffer — the
+            # write position wraps, every written slot holds a strictly
+            # OLDER absolute position than the query (so no causal mask by
+            # slot index), and xPos stays exact because keys were rotated
+            # at their absolute positions when written.
+            w, s = kv_window, kv_sink
+            write = jnp.where(idx < w, idx, s + jnp.mod(idx - s, w - s))
+            pos = write[:, None] + jnp.arange(l)[None, :]
+            kv_valid = jnp.minimum(idx + l, w)
+            q_off = None
+        else:
+            pos = idx[:, None] + jnp.arange(l)[None, :]       # (B, L)
+            kv_valid = idx + l
+            q_off = idx
         b_idx = jnp.arange(b)[:, None]                        # (B, 1)
         quant_cache = "k_scale" in cache
         if quant_cache:
@@ -376,7 +393,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
             k_cache = cache["k"].at[b_idx, :, pos, :].set(jnp.swapaxes(k, 1, 2))
             v_cache = cache["v"].at[b_idx, :, pos, :].set(jnp.swapaxes(v, 1, 2))
             new_cache = {"k": k_cache, "v": v_cache}
-        kv_len = idx + l
+        kv_len = kv_valid
         if prefill and use_flash and l >= _FLASH_MIN_LEN \
                 and shared_kv is None:
             # prefill writes at index 0 (caller's contract): attention over
@@ -392,7 +409,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
             o = _jnp_attention(q, new_cache["k"], new_cache["v"],
                                causal=causal,
                                kv_len=kv_len, attn_dropout=0.0, rng=None,
-                               q_offset=idx,
+                               q_offset=q_off,
                                k_scale=(new_cache["k_scale"] if quant_cache
                                         else None),
                                v_scale=(new_cache["v_scale"] if quant_cache

@@ -161,7 +161,8 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         segment_ids=segment_ids, attn_dropout=cfg.attention_dropout,
         rng=rngs[0], cache=cache, cache_index=cache_index,
         prefill=prefill, shared_kv=shared_kv, shared_on=shared_on,
-        pos_offset=pos_offset, dtype=dtype, interpret=interpret,
+        pos_offset=pos_offset, kv_window=cfg.kv_window, kv_sink=cfg.kv_sink,
+        dtype=dtype, interpret=interpret,
         sequence_axis=cfg.sequence_axis,
         sequence_schedule=cfg.sequence_schedule)
     if rngs[1] is not None and cfg.dropout > 0.0:

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ffn-dim", type=int, default=8192)
     p.add_argument("--heads", type=int, default=32)
     p.add_argument("--max-positions", type=int, default=2048)
+    p.add_argument("--kv-window", type=int, default=0,
+                   help="rolling KV cache (StreamingLLM sinks + ring): "
+                        "unbounded generation length at O(window) memory")
+    p.add_argument("--kv-sink", type=int, default=4)
     p.add_argument("--no-multiway", action="store_true")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -77,7 +81,8 @@ def main(argv=None):
         vocab_size=args.vocab_size, embed_dim=args.dim, layers=args.layers,
         ffn_dim=args.ffn_dim, heads=args.heads,
         max_positions=args.max_positions, multiway=not args.no_multiway,
-        compute_dtype=args.dtype, dropout=0.0, attention_dropout=0.0)
+        compute_dtype=args.dtype, dropout=0.0, attention_dropout=0.0,
+        kv_window=args.kv_window, kv_sink=args.kv_sink)
     scfg = SamplingConfig(max_new_tokens=args.max_new_tokens,
                           temperature=args.temperature, top_k=args.top_k,
                           top_p=args.top_p, greedy=args.greedy)
