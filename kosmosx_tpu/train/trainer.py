@@ -56,6 +56,7 @@ class TrainConfig:
     z_loss: float = 0.0
     checkpoint_every: int = 1000
     log_every: int = 100
+    eval_every: int = 0   # validation cadence (0 = off); see Trainer.run
     output_dir: str = "checkpoints/"
     resume: bool = False
     # final consolidated params save to {output_dir}/final at end of run
@@ -171,6 +172,7 @@ class Trainer:
         self._init_fn = init_fn
         self._loss_fn = loss_fn
         self._step_fn = None
+        self._eval_fn = None
         self.state = None
         self.state_shardings = None
 
@@ -253,10 +255,40 @@ class Trainer:
         from kosmosx_tpu.parallel.sharding import shard_batch
         return shard_batch(batch, self.mesh)
 
+    # -- eval ----------------------------------------------------------------
+    def evaluate(self, eval_batches: Iterable[Dict[str, Any]]) -> Dict:
+        """Mean loss/metrics over a validation set (jitted forward-only
+        step, no dropout rng, params untouched)."""
+        if self._eval_fn is None:
+            def eval_step(params, batch):
+                loss, metrics = self._loss_fn(params, batch, None)
+                return loss, metrics
+
+            self._eval_fn = jax.jit(
+                eval_step, in_shardings=(self.state_shardings["params"],
+                                         None))
+        total: Dict[str, float] = {}
+        n = 0
+        for batch in eval_batches:
+            loss, metrics = self._eval_fn(self.state["params"],
+                                          self.shard_batch(batch))
+            total["eval_loss"] = total.get("eval_loss", 0.0) + float(loss)
+            for k, v in metrics.items():
+                try:
+                    total[f"eval_{k}"] = total.get(f"eval_{k}", 0.0) + float(v)
+                except TypeError:
+                    pass
+            n += 1
+        return {k: v / max(n, 1) for k, v in total.items()}
+
     # -- loop ----------------------------------------------------------------
     def run(self, batches: Iterable[Dict[str, Any]],
             steps: Optional[int] = None,
-            log_fn: Optional[Callable[[int, Dict], None]] = None):
+            log_fn: Optional[Callable[[int, Dict], None]] = None,
+            eval_batches: Optional[Callable[[], Iterable]] = None):
+        """``eval_batches``: zero-arg callable returning a fresh validation
+        iterable; evaluated every ``cfg.eval_every`` steps, metrics merged
+        into that step's log line as ``eval_*``."""
         cfg = self.cfg
         if self.state is None:
             self.init_state()
@@ -291,12 +323,17 @@ class Trainer:
         from kosmosx_tpu.train.data import device_prefetch
         stream = device_prefetch(
             _bounded(), lambda ib: (ib[0], self.shard_batch(ib[1])))
+        eval_metrics: Dict[str, float] = {}
         for i, batch in stream:
             self.state, metrics = self._step_fn(self.state, batch)
             n += 1
             step_no = int(i) + 1
+            if cfg.eval_every and eval_batches is not None \
+                    and step_no % cfg.eval_every == 0:
+                eval_metrics = self.evaluate(eval_batches())
             if step_no % cfg.log_every == 0 or n == 1:
                 m = {k: float(v) for k, v in metrics.items()}
+                m.update(eval_metrics)
                 m["lr"] = float(self.schedule(step_no))
                 m["steps_per_sec"] = n / (time.time() - t0)
                 if log_fn:

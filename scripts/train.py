@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--checkpoint-every", type=int, default=1000)
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="validation cadence in steps (0 = off)")
+    p.add_argument("--eval-pretokenized", nargs="*", default=None,
+                   help="held-out pretokenized token files for --eval-every")
+    p.add_argument("--eval-batches", type=int, default=16,
+                   help="validation batches per evaluation")
     p.add_argument("--output-dir", default="checkpoints/")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-final-save", action="store_true",
@@ -171,6 +177,7 @@ def main(argv=None):
         optimizer=args.optimizer, schedule=args.schedule,
         total_steps=args.steps, warmup_steps=args.warmup_steps,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
+        eval_every=args.eval_every,
         output_dir=args.output_dir, resume=args.resume,
         final_save=not args.no_final_save,
         data=args.data, fsdp=args.fsdp, tensor=args.tensor,
@@ -275,7 +282,20 @@ def main(argv=None):
                            use_wandb=args.wandb,
                            config=vars(args)) if (args.metrics_jsonl or
                                                   args.wandb) else None
-    state, metrics = trainer.run(batches, steps=args.steps, log_fn=log_fn)
+    eval_fn = None
+    if args.eval_every and args.eval_pretokenized:
+        import itertools
+
+        def eval_fn():
+            return itertools.islice(
+                pretokenized_batches(args.eval_pretokenized,
+                                     batch_size=args.batch_size,
+                                     seq_len=args.seq_len,
+                                     dtype=args.token_dtype),
+                args.eval_batches)
+
+    state, metrics = trainer.run(batches, steps=args.steps, log_fn=log_fn,
+                                 eval_batches=eval_fn)
     if args.lora_rank > 0 and not args.no_final_save:
         # raw adapter factors for multi-LoRA serving
         # (ServeEngine.load_adapter / scripts/serve.py --adapter)

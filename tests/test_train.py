@@ -251,3 +251,35 @@ def test_train_cli_end_to_end(tmp_path):
              "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
     assert out.returncode == 0, (out.stderr[-2000:], out.stdout[-500:])
     assert (out_dir / "step_4").exists()  # reference checkpoints/step_{n}
+
+
+def test_trainer_eval_loop():
+    """cfg.eval_every runs a forward-only validation pass whose metrics
+    merge into the log line and whose execution leaves training untouched."""
+    import jax.numpy as jnp
+
+    cfg = TrainConfig(batch_size=4, seq_len=16, total_steps=6,
+                      learning_rate=1e-3, optimizer="adamw",
+                      schedule="constant", checkpoint_every=0, log_every=1,
+                      eval_every=2, data=2, fsdp=2, tensor=2)
+    trainer = Trainer(init_fn=lambda k: dec.init_decoder(k, CFG),
+                      loss_fn=lm_loss_fn(CFG), cfg=cfg)
+
+    def eval_batches():
+        return synthetic_text_batches(batch_size=4, seq_len=16,
+                                      vocab_size=CFG.vocab_size, steps=3,
+                                      seed=999)
+
+    logged = []
+    trainer.run(synthetic_text_batches(batch_size=4, seq_len=16,
+                                       vocab_size=CFG.vocab_size, steps=6),
+                steps=6, log_fn=lambda s, m: logged.append((s, m)),
+                eval_batches=eval_batches)
+    with_eval = [m for _, m in logged if "eval_loss" in m]
+    assert with_eval, "no eval metrics logged"
+    assert all(np.isfinite(m["eval_loss"]) for m in with_eval)
+    # eval is deterministic given fixed eval data + params snapshot; two
+    # standalone calls agree
+    e1 = trainer.evaluate(eval_batches())
+    e2 = trainer.evaluate(eval_batches())
+    assert e1["eval_loss"] == e2["eval_loss"]
