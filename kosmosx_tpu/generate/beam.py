@@ -199,6 +199,10 @@ def beam_search(params, cfg: MagnetoConfig, prompt: jax.Array, *,
     best sequence; positions after EOS hold repeated EOS."""
     if beam_size < 1:
         raise ValueError("beam_size must be >= 1")
+    if cfg.kv_window > 0:
+        raise NotImplementedError(
+            "beam search over a rolling KV window is not implemented "
+            "(generate_text supports kv_window)")
     b, lp = prompt.shape
     if prompt_lengths is None:
         prompt_lengths = jnp.full((b,), lp, jnp.int32)
@@ -226,6 +230,9 @@ def beam_search_multimodal(params, kcfg, text_tokens: jax.Array,
     decode. Same return contract as :func:`beam_search`."""
     if beam_size < 1:
         raise ValueError("beam_size must be >= 1")
+    if kcfg.decoder.kv_window > 0:
+        raise NotImplementedError(
+            "beam search over a rolling KV window is not implemented")
     b, lt = text_tokens.shape
     if prompt_lengths is None:
         prompt_lengths = jnp.full((b,), lt, jnp.int32)

@@ -200,9 +200,13 @@ def generate_text(params, cfg: MagnetoConfig, prompt: jax.Array,
         prompt_lengths = jnp.full((b,), lp, jnp.int32)
     max_len = lp + sampling.max_new_tokens
     if cfg.kv_window > 0:
-        # rolling cache: unbounded generation length; only the PROMPT must
-        # fit the window (prefill is a single un-wrapped write) and the
-        # table (prefill positions are not clamped)
+        # rolling cache: generation bounded only by the xPos numeric range
+        # (~scale_base*70: keys are stored at ABSOLUTE rotations, and the
+        # per-dim decay over/underflows past it — nn/xpos.py); the PROMPT
+        # must fit the window (prefill is a single un-wrapped write) and
+        # the table (prefill positions are not clamped)
+        from kosmosx_tpu.nn.xpos import xpos_position_bound
+
         if cfg.kv_sink >= cfg.kv_window:
             raise ValueError(f"kv_sink ({cfg.kv_sink}) must be < kv_window "
                              f"({cfg.kv_window})")
@@ -212,6 +216,15 @@ def generate_text(params, cfg: MagnetoConfig, prompt: jax.Array,
         if lp > cfg.max_target_positions:
             raise ValueError(f"prompt ({lp}) exceeds the learned position "
                              f"table ({cfg.max_target_positions})")
+        if cfg.xpos_rel_pos:
+            bound = xpos_position_bound(cfg.xpos_scale_base)
+            if max_len > bound:
+                raise ValueError(
+                    f"prompt + max_new_tokens = {max_len} exceeds the xPos "
+                    f"numeric range bound ({bound} at scale_base "
+                    f"{cfg.xpos_scale_base}): ring keys carry absolute "
+                    f"rotations whose decay overflows past it; raise "
+                    f"xpos_scale_base or generate in segments")
     elif max_len > cfg.max_target_positions:
         # decode offsets are traced, so the positional table cannot catch
         # this itself (it would silently clamp); validate the static bound
@@ -275,6 +288,10 @@ def generate_multimodal(params, kcfg: KosmosConfig, text_tokens: jax.Array,
     """Kosmos generation: encode image(s) + text prompt once, then decode."""
     sampling = sampling or SamplingConfig()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if kcfg.decoder.kv_window > 0:
+        raise NotImplementedError(
+            "multimodal generation over a rolling KV window is not "
+            "implemented (generate_text supports kv_window)")
     b, lt = text_tokens.shape
     if prompt_lengths is None:
         prompt_lengths = jnp.full((b,), lt, jnp.int32)

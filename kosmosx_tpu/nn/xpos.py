@@ -63,6 +63,21 @@ def xpos_sin_cos_scale(length: int, head_dim: int, *, offset=0,
     return sin.astype(dtype), cos.astype(dtype), scale.astype(dtype)
 
 
+def xpos_position_bound(scale_base: int = 512) -> int:
+    """Largest absolute position at which the per-dim key downscale
+    ``zeta**(-pos/scale_base)`` still fits fp32/bf16 range (both have 8
+    exponent bits). The smallest zeta is dim 0: ``0.4d/1.4d = 2/7``
+    (independent of head_dim); the scale overflows past
+    ``pos > scale_base * 127 / log2(7/2)`` (~36k at scale_base 512).
+    Cached decode keys are stored at absolute positions (center 0), so
+    rolling-window generation must stay under this bound or scores go
+    inf/NaN."""
+    import math
+
+    zeta0 = 0.4 / 1.4
+    return int(scale_base * 127.0 / math.log2(1.0 / zeta0))
+
+
 def apply_xpos(x, *, offset=0, scale_base: int = 512, downscale: bool = False,
                center=None):
     """Apply xPos rotation + scaling to ``x`` of shape (..., L, head_dim).

@@ -141,7 +141,23 @@ def shard_params(params, mesh: Mesh, specs=None):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
-def shard_batch(batch, mesh: Mesh):
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            x, NamedSharding(mesh, batch_spec(getattr(x, "ndim", 0)))), batch)
+def shard_batch(batch, mesh: Mesh, per_process: bool = False):
+    """Place a host batch on the mesh.
+
+    ``per_process=False`` (default): the host value is assumed IDENTICAL on
+    every process and is placed as one global array (the convention of the
+    two-process test, tests/dist_worker.py).
+
+    ``per_process=True``: each process holds its OWN batch slice (e.g. a
+    shard_stream'd loader) and contributes it as the local shard of a
+    global array — the global batch is the concatenation across processes,
+    so per-process streams really do train on disjoint data."""
+    def put(x):
+        spec = batch_spec(getattr(x, "ndim", 0))
+        s = NamedSharding(mesh, spec)
+        if per_process and jax.process_count() > 1 \
+                and getattr(x, "ndim", 0) > 0:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, batch)

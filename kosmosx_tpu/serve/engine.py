@@ -469,6 +469,12 @@ class ServeEngine:
                  rng: Optional[jax.Array] = None,
                  draft_params=None, draft_cfg: Optional[MagnetoConfig] = None,
                  interpret: bool = False, mesh=None):
+        if cfg.kv_window > 0 or (draft_cfg is not None
+                                 and draft_cfg.kv_window > 0):
+            raise NotImplementedError(
+                "the serving engine does not support rolling KV windows "
+                "(kv_window); its slot pool is append-only — use "
+                "generate_text for windowed generation")
         self.cfg = cfg
         self.kcfg = kosmos_cfg
         self.params = params
@@ -838,12 +844,14 @@ class ServeEngine:
             raise ValueError("warmup requires an idle engine")
         import numpy as np
 
+        tok = self.scfg.pad_id + 1
+        p = self.scfg.max_prompt_len
         flavors = []
-        buckets = sorted(self.scfg.prompt_buckets) or [None]
-        for b in buckets:
-            lp = min(2, self.scfg.max_prompt_len - 1) if b is None \
-                else min(b, self.scfg.max_prompt_len - 1)
-            flavors.append({"prompt": [self.scfg.pad_id + 1] * max(lp, 1)})
+        for b in sorted(self.scfg.prompt_buckets):
+            if b <= p:
+                flavors.append({"prompt": [tok] * b})
+        # the full-length (no-bucket-fits) program always exists
+        flavors.append({"prompt": [tok] * p})
         if adapters:
             for name in self.adapters:
                 flavors.append({"prompt": [self.scfg.pad_id + 1] * 2,
@@ -857,14 +865,22 @@ class ServeEngine:
             flavors.append({"prompt": list(self.shared_seg["key"])
                             + [self.scfg.pad_id + 1]})
         hits_before = self.prefix_hits
-        handles = [self.submit(max_new_tokens=2, **f) for f in flavors]
+        handles = []
+        for f in flavors:
+            try:
+                handles.append(self.submit(max_new_tokens=2, **f))
+            except ValueError:
+                # a flavor that cannot fit max_len can never be dispatched
+                # by real traffic either (e.g. full-length prompts on a
+                # tight cache) — nothing to warm
+                pass
         self.run()
         assert all(h.done for h in handles)
         self.prefix_hits = hits_before  # warmup must not skew stats
         self.emitted_total = 0
         self.accepted_total = 0
         self.steps = 0
-        return len(flavors)
+        return len(handles)
 
     def cancel(self, req: Request) -> bool:
         """Abort a request: drop it from the pending queue or free its slot.

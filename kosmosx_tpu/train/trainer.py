@@ -57,6 +57,11 @@ class TrainConfig:
     checkpoint_every: int = 1000
     log_every: int = 100
     eval_every: int = 0   # validation cadence (0 = off); see Trainer.run
+    # Multi-process data: False = every process feeds IDENTICAL host
+    # batches (global placement); True = each process feeds its OWN
+    # disjoint batches (shard_stream) contributed as local shards of the
+    # global batch — the global batch is batch_size x process_count
+    per_process_batches: bool = False
     output_dir: str = "checkpoints/"
     resume: bool = False
     # final consolidated params save to {output_dir}/final at end of run
@@ -253,7 +258,8 @@ class Trainer:
 
     def shard_batch(self, batch):
         from kosmosx_tpu.parallel.sharding import shard_batch
-        return shard_batch(batch, self.mesh)
+        return shard_batch(batch, self.mesh,
+                           per_process=self.cfg.per_process_batches)
 
     # -- eval ----------------------------------------------------------------
     def evaluate(self, eval_batches: Iterable[Dict[str, Any]]) -> Dict:
@@ -334,6 +340,7 @@ class Trainer:
             if step_no % cfg.log_every == 0 or n == 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(eval_metrics)
+                eval_metrics = {}  # fresh evals only — never re-log stale
                 m["lr"] = float(self.schedule(step_no))
                 m["steps_per_sec"] = n / (time.time() - t0)
                 if log_fn:

@@ -114,8 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hf-text-key", default="text")
     p.add_argument("--distributed", action="store_true",
                    help="multi-process: jax.distributed.initialize() from "
-                        "env rendezvous (ref train.py:698-711) and shard "
-                        "the data stream by process")
+                        "env rendezvous (ref train.py:698-711); each "
+                        "process streams a disjoint round-robin batch "
+                        "shard contributed as its local slice of the "
+                        "global batch (global batch = batch-size x "
+                        "processes). Cap the run with --steps so uneven "
+                        "stream tails cannot desync the processes.")
     p.add_argument("--pretokenized", nargs="*", default=None,
                    help="pretokenized token files (.bin memmap / .npy), "
                         "re-chunked to --seq-len (ref train.py:474-483)")
@@ -178,6 +182,7 @@ def main(argv=None):
         total_steps=args.steps, warmup_steps=args.warmup_steps,
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         eval_every=args.eval_every,
+        per_process_batches=shard is not None,
         output_dir=args.output_dir, resume=args.resume,
         final_save=not args.no_final_save,
         data=args.data, fsdp=args.fsdp, tensor=args.tensor,
@@ -205,21 +210,23 @@ def main(argv=None):
             docs = hf_dataset_stream(args.hf_dataset, tok,
                                      split=args.hf_split,
                                      text_key=args.hf_text_key)
-            if shard is not None:
-                docs = shard_stream(docs, *shard)
             batches = packed_text_batches(
                 docs, batch_size=args.batch_size, seq_len=args.seq_len,
                 eos_id=tok.eos_token_id)
+            if shard is not None:
+                # shard BATCHES (equal-rate), not docs (unequal lengths
+                # would desync per-process step counts)
+                batches = shard_stream(batches, *shard)
         elif args.text_files:
             from kosmosx_tpu.data.tokenizer import KosmosTokenizer
 
             tok = KosmosTokenizer()
             docs = text_file_stream(args.text_files, tok)
-            if shard is not None:
-                docs = shard_stream(docs, *shard)
             batches = packed_text_batches(
                 docs, batch_size=args.batch_size, seq_len=args.seq_len,
                 eos_id=tok.eos_token_id)
+            if shard is not None:
+                batches = shard_stream(batches, *shard)
         else:
             raise SystemExit("need --synthetic, --pretokenized, "
                              "--hf-dataset, or --text-files")

@@ -418,15 +418,19 @@ def test_engine_fuzz_random_schedules_match_plain(params, draft_params,
         handles = []
         i = 0
         guard = 0
-        while i < n_req or eng.step():
+        alive = True
+        while i < n_req or alive:
             guard += 1
             assert guard < 500, "engine failed to drain"
-            # arrival schedule: submit the next request after its delay
+            # arrival schedule: submit the next request after its delay,
+            # then ALWAYS step — admissions interleave with in-flight
+            # decode at varying cache indices
             while i < n_req and reqs[i][2] <= guard:
                 prompt, budget, _, eos = reqs[i]
                 handles.append(eng.submit(prompt, max_new_tokens=budget,
                                           eos_id=eos))
                 i += 1
+            alive = eng.step()
         eng.run()
         return [h.tokens for h in handles]
 
@@ -670,7 +674,8 @@ def test_engine_fuzz_prefix_adapter_temp_surface(params, seed):
         handles = []
         i = 0
         guard = 0
-        while i < n_req or eng.step():
+        alive = True
+        while i < n_req or alive:
             guard += 1
             assert guard < 500, "engine failed to drain"
             while i < n_req and reqs[i][2] <= guard:
@@ -679,6 +684,7 @@ def test_engine_fuzz_prefix_adapter_temp_surface(params, seed):
                     prompt, max_new_tokens=budget, eos_id=eos,
                     adapter=adapter, temperature=temp))
                 i += 1
+            alive = eng.step()
         eng.run()
         return [h.tokens for h in handles]
 
