@@ -160,7 +160,40 @@ def _measure(cfg, label):
         return _measure_sequential(cfg, label, params, imgs)
 
 
+def _device_health_or_die(timeout_s: int = 600):
+    """A tiny matmul value-fetch in a SUBPROCESS with a timeout: if the
+    remote device is unreachable (the axon tunnel hangs in a C transport
+    call rather than erroring — observed service-side outage 2026-08-17/18;
+    SIGALRM cannot interrupt it), print a diagnosable JSON line and exit
+    instead of hanging the driver indefinitely. Run as a subprocess so a
+    wedged tunnel never poisons THIS process."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "assert float((x @ x).sum()) > 0; print('ok')")
+    err = None
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode != 0:
+            err = f"health probe failed (rc={r.returncode}): " \
+                  f"{r.stderr[-300:]}"
+    except subprocess.TimeoutExpired:
+        err = (f"device unreachable: health matmul hung >{timeout_s}s "
+               f"(axon tunnel down?)")
+    if err is not None:
+        print(json.dumps({
+            "metric": "images+text tokens/sec/chip (flagship Kosmos)",
+            "value": 0.0, "unit": "tokens/sec/chip", "vs_baseline": 0.0,
+            "error": err}))
+        sys.stdout.flush()
+        os._exit(3)
+
+
 def main():
+    _device_health_or_die()
     from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
                                          ResamplerConfig, VisionConfig)
 
