@@ -226,6 +226,8 @@ class LoraTrainer:
         self._t.init_state = self.init_state
         self._t._build_step = self._build_step
         self._t.final_params = self._final_params
+        self._t.evaluate = self.evaluate
+        self._eval_jit = None
         self.rank, self.alpha, self.targets = rank, alpha, tuple(targets)
         self._given_base = base_params
         self.base_params = None
@@ -248,8 +250,33 @@ class LoraTrainer:
     def state(self):
         return self._t.state
 
-    def run(self, batches, steps=None, log_fn=None):
-        return self._t.run(batches, steps=steps, log_fn=log_fn)
+    def run(self, batches, steps=None, log_fn=None, eval_batches=None):
+        return self._t.run(batches, steps=steps, log_fn=log_fn,
+                           eval_batches=eval_batches)
+
+    def evaluate(self, eval_batches):
+        """Validation over the ADAPTED model (base + current factors)."""
+        if self._eval_jit is None:
+            def eval_step(lora_tree, base, batch):
+                return self._t._loss_fn(attach_lora(base, lora_tree),
+                                        batch, None)
+
+            self._eval_jit = jax.jit(eval_step)
+        total, n = {}, 0
+        for batch in eval_batches:
+            from kosmosx_tpu.parallel.sharding import shard_batch
+            loss, metrics = self._eval_jit(
+                self._t.state["lora"], self.base_params,
+                shard_batch(batch, self.mesh))
+            total["eval_loss"] = total.get("eval_loss", 0.0) + float(loss)
+            for k, v in metrics.items():
+                try:
+                    total[f"eval_{k}"] = total.get(f"eval_{k}", 0.0) \
+                        + float(v)
+                except TypeError:
+                    pass
+            n += 1
+        return {k: v / max(n, 1) for k, v in total.items()}
 
     def init_state(self):
         from jax.sharding import NamedSharding, PartitionSpec as P

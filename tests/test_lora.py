@@ -175,6 +175,10 @@ def test_lora_trainer_sharded_and_merge():
     merged = dec.decoder_forward(trainer.merged_params(), toks, CFG)
     np.testing.assert_allclose(np.asarray(adapted), np.asarray(merged),
                                atol=1e-4)
+    # LoRA-aware validation runs over the adapted model
+    ev = trainer.evaluate([{"input_ids": np.asarray(
+        _tokens(jax.random.fold_in(key, 123), batch=4))}])
+    assert np.isfinite(ev["eval_loss"])
 
 
 @pytest.mark.slow
