@@ -19,6 +19,7 @@ Loss (Rafailov et al. 2023): ``-log sigma(beta * ((pi_c - pi_r) -
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional
 
 import jax
@@ -36,19 +37,30 @@ def sequence_logprob(params, cfg, tokens: jax.Array, weights: jax.Array,
     token t+1, so weights align with the LABEL position convention of
     train/loss.py (weight[t] gates label tokens[t], predicted from t-1)."""
     logits = decoder_forward(params, tokens, cfg, rng=rng)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    # logits[:, t] predict tokens[:, t+1]
-    pred = logp[:, :-1]
+    # logits[:, t] predict tokens[:, t+1]. log p = true_logit - logsumexp
+    # (the train/loss.py pattern) — never materializes a second (B, L, V)
+    # fp32 log-softmax array, which matters at flagship vocab x seq.
+    pred = logits[:, :-1]
     labels = tokens[:, 1:]
     w = weights[:, 1:].astype(jnp.float32)
-    tok_lp = jnp.take_along_axis(pred, labels[..., None], axis=-1)[..., 0]
-    return jnp.sum(tok_lp * w, axis=-1)                       # (B,)
+    logz = jax.nn.logsumexp(pred.astype(jnp.float32), axis=-1)    # (B, L-1)
+    true_logit = jnp.take_along_axis(
+        pred, labels[..., None], axis=-1)[..., 0].astype(jnp.float32)
+    return jnp.sum((true_logit - logz) * w, axis=-1)              # (B,)
+
+
+@functools.lru_cache(maxsize=8)
+def _seq_logprob_jit(cfg):
+    """One compile per config — a fresh jit per batch would re-trace the
+    full reference forward every call (minutes per compile on the remote
+    chip)."""
+    return jax.jit(lambda p, t, w: sequence_logprob(p, cfg, t, w))
 
 
 def compute_ref_logprobs(ref_params, cfg, batch: Dict) -> Dict:
     """Add the frozen reference's sequence log-probs to a DPO batch
     (run OUTSIDE the training step, params never enter the optimizer)."""
-    fn = jax.jit(lambda p, t, w: sequence_logprob(p, cfg, t, w))
+    fn = _seq_logprob_jit(cfg)
     out = dict(batch)
     out["ref_chosen_logp"] = fn(ref_params, batch["chosen"],
                                 batch["chosen_weights"])
@@ -108,8 +120,15 @@ def preference_batch(prompt, chosen, rejected, *, pad_id: int = 1,
         toks = np.full((len(rows), ln), pad_id, np.int32)
         wgt = np.zeros((len(rows), ln), np.float32)
         for i, (r, w) in enumerate(zip(rows, ws)):
-            toks[i, :len(r)] = r[:ln]
-            wgt[i, :len(r)] = w[:ln]
+            if len(r) > ln:
+                # silent truncation would cut the completion and feed a
+                # zero-weight pair (constant log 2 loss, no gradient) —
+                # fail loudly like the positional-table overflow rule
+                raise ValueError(
+                    f"row {i}: prompt+completion length {len(r)} exceeds "
+                    f"length={ln}; raise `length`")
+            toks[i, :len(r)] = r
+            wgt[i, :len(r)] = w
         return toks, wgt
 
     ct, cw = pack(chosen)

@@ -255,28 +255,18 @@ class LoraTrainer:
                            eval_batches=eval_batches)
 
     def evaluate(self, eval_batches):
-        """Validation over the ADAPTED model (base + current factors)."""
+        """Validation over the ADAPTED model (base + current factors);
+        aggregation/sharding shared with Trainer._eval_loop."""
         if self._eval_jit is None:
             def eval_step(lora_tree, base, batch):
                 return self._t._loss_fn(attach_lora(base, lora_tree),
                                         batch, None)
 
             self._eval_jit = jax.jit(eval_step)
-        total, n = {}, 0
-        for batch in eval_batches:
-            from kosmosx_tpu.parallel.sharding import shard_batch
-            loss, metrics = self._eval_jit(
-                self._t.state["lora"], self.base_params,
-                shard_batch(batch, self.mesh))
-            total["eval_loss"] = total.get("eval_loss", 0.0) + float(loss)
-            for k, v in metrics.items():
-                try:
-                    total[f"eval_{k}"] = total.get(f"eval_{k}", 0.0) \
-                        + float(v)
-                except TypeError:
-                    pass
-            n += 1
-        return {k: v / max(n, 1) for k, v in total.items()}
+        return self._t._eval_loop(
+            eval_batches,
+            lambda b: self._eval_jit(self._t.state["lora"],
+                                     self.base_params, b))
 
     def init_state(self):
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -262,6 +262,27 @@ class Trainer:
                            per_process=self.cfg.per_process_batches)
 
     # -- eval ----------------------------------------------------------------
+    def _eval_loop(self, eval_batches: Iterable[Dict[str, Any]],
+                   run_step: Callable) -> Dict:
+        """Shared eval aggregation: mean loss/metrics over a validation set.
+        ``run_step(sharded_batch) -> (loss, metrics)``. The metrics dict's
+        own 'loss' entry is skipped (it duplicates the returned loss —
+        adding both would double-count eval_loss)."""
+        total: Dict[str, float] = {}
+        n = 0
+        for batch in eval_batches:
+            loss, metrics = run_step(self.shard_batch(batch))
+            total["eval_loss"] = total.get("eval_loss", 0.0) + float(loss)
+            for k, v in metrics.items():
+                if k == "loss":
+                    continue
+                try:
+                    total[f"eval_{k}"] = total.get(f"eval_{k}", 0.0) + float(v)
+                except TypeError:
+                    pass
+            n += 1
+        return {k: v / max(n, 1) for k, v in total.items()}
+
     def evaluate(self, eval_batches: Iterable[Dict[str, Any]]) -> Dict:
         """Mean loss/metrics over a validation set (jitted forward-only
         step, no dropout rng, params untouched)."""
@@ -273,19 +294,9 @@ class Trainer:
             self._eval_fn = jax.jit(
                 eval_step, in_shardings=(self.state_shardings["params"],
                                          None))
-        total: Dict[str, float] = {}
-        n = 0
-        for batch in eval_batches:
-            loss, metrics = self._eval_fn(self.state["params"],
-                                          self.shard_batch(batch))
-            total["eval_loss"] = total.get("eval_loss", 0.0) + float(loss)
-            for k, v in metrics.items():
-                try:
-                    total[f"eval_{k}"] = total.get(f"eval_{k}", 0.0) + float(v)
-                except TypeError:
-                    pass
-            n += 1
-        return {k: v / max(n, 1) for k, v in total.items()}
+        return self._eval_loop(
+            eval_batches,
+            lambda b: self._eval_fn(self.state["params"], b))
 
     # -- loop ----------------------------------------------------------------
     def run(self, batches: Iterable[Dict[str, Any]],

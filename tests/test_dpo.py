@@ -42,6 +42,10 @@ def test_preference_batch_layout():
     assert b["chosen"].tolist() == [[4, 5, 10, 11, 12, 1, 1, 1]]
     assert b["chosen_weights"].tolist() == [[0, 0, 1, 1, 1, 0, 0, 0]]
     assert b["rejected"].tolist() == [[4, 5, 20, 1, 1, 1, 1, 1]]
+    # over-length rows fail loudly instead of silently truncating the
+    # completion into a zero-gradient pair
+    with pytest.raises(ValueError, match="exceeds"):
+        preference_batch([[4, 5]], [[10, 11, 12]], [[20]], length=4)
 
 
 def _pref_data(n=8, seed=3):

@@ -283,3 +283,13 @@ def test_trainer_eval_loop():
     e1 = trainer.evaluate(eval_batches())
     e2 = trainer.evaluate(eval_batches())
     assert e1["eval_loss"] == e2["eval_loss"]
+    # eval_loss is the TRUE mean loss, not doubled by the metrics dict's
+    # own "loss" entry (regression: both were summed)
+    losses = []
+    for b in eval_batches():
+        l, _ = lm_loss_fn(CFG)(
+            jax.device_get(trainer.state["params"]), b, None)
+        losses.append(float(l))
+    # bf16 + sharded-reduction ordering differ slightly from the unjitted
+    # host recompute; the regression target is the 2x double-count
+    np.testing.assert_allclose(e1["eval_loss"], np.mean(losses), rtol=0.05)
