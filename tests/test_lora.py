@@ -242,3 +242,49 @@ def test_save_restore_params_round_trip(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_lora_on_kosmos_multimodal():
+    """Adapters attach across the full Kosmos tree (decoder q/k/v/out/fc1/
+    fc2 AND, with ALL_TARGETS, the resampler/projection linears); zero-init
+    keeps the multimodal forward bit-identical."""
+    from kosmosx_tpu.core.config import (KosmosConfig, ResamplerConfig,
+                                         VisionConfig)
+    from kosmosx_tpu.models.kosmos import Kosmos
+    from kosmosx_tpu.train.lora import ALL_TARGETS
+
+    kcfg = KosmosConfig(
+        decoder=CFG,
+        vision=VisionConfig(image_size=28, patch_size=14, hidden_dim=32,
+                            layers=1, heads=2, mlp_dim=64,
+                            use_flash_attention=False),
+        resampler=ResamplerConfig(dim=32, depth=1, dim_head=8, heads=4,
+                                  num_latents=8, num_media_embeds=5),
+        image_embed_len=8)
+    params = Kosmos.init(jax.random.PRNGKey(0), kcfg)
+    adapted = add_lora(jax.random.PRNGKey(1), params, RANK,
+                       targets=ALL_TARGETS)
+    assert "lora" in adapted["decoder"]["layers"][0]["attn"]["q"]
+    assert "lora" in adapted["image_proj"]
+    toks = jax.random.randint(jax.random.PRNGKey(5), (2, 6), 4,
+                              CFG.vocab_size)
+    imgs = jnp.zeros((2, 3, 28, 28), jnp.float32)
+    base_logits = Kosmos.apply(params, toks, imgs, kcfg)
+    lora_logits = Kosmos.apply(adapted, toks, imgs, kcfg)
+    np.testing.assert_allclose(np.asarray(base_logits),
+                               np.asarray(lora_logits), atol=1e-6)
+
+
+def test_w8_params_checkpoint_round_trip(tmp_path):
+    """W8-quantized param trees ({'q','scale'} dicts) survive the orbax
+    params checkpoint unchanged."""
+    from kosmosx_tpu.train import checkpoint as ckpt
+    from kosmosx_tpu.utils.quantize import quantize_params_w8
+
+    params = dec.init_decoder(jax.random.PRNGKey(0), CFG)
+    q = quantize_params_w8(params, min_size=64)
+    path = ckpt.save_params(q, str(tmp_path / "w8"))
+    restored = ckpt.restore_params(path)
+    for a, b in zip(jax.tree_util.tree_leaves(q),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
