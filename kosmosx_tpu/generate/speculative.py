@@ -43,20 +43,27 @@ from kosmosx_tpu.nn import decoder as dec
 
 
 def _decode_logits(params, cfg: MagnetoConfig, tokens, caches, index,
-                   double_scale: bool = False):
+                   double_scale: bool = False, shared=None):
     """Cached forward of ``tokens`` (B, L) at per-batch ``index`` (B,).
     Returns (logits (B, L, V), caches). ``double_scale`` replicates the
     reference Kosmos embedding quirk (SURVEY.md §2.6.1) so speculative
-    serving of a parity-mode Kosmos matches its plain decode path."""
+    serving of a parity-mode Kosmos matches its plain decode path.
+    ``shared = (shared_caches, shared_on, pos_offset)``: a broadcast
+    shared-prefix KV segment (serve/engine.py register_prefix(share=True))
+    attended by flagged rows with positions shifted by its length."""
+    shared_caches, shared_on, pos_offset = shared or (None, None, None)
+    pos = index if pos_offset is None else index + pos_offset
     if double_scale:
         emb = dec.embed_only(params, cfg, tokens)
         x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
-                                     offset=index[:, None])
+                                     offset=pos[:, None])
     else:
         x, _ = dec.forward_embedding(params, cfg, tokens,
-                                     offset=index[:, None])
+                                     offset=pos[:, None])
     h, caches = dec.run_layers(params, x, cfg, caches=caches,
-                               cache_index=index)
+                               cache_index=index,
+                               shared_caches=shared_caches,
+                               shared_on=shared_on, pos_offset=pos_offset)
     return dec.output_logits(params, h, cfg).astype(jnp.float32), caches
 
 
@@ -67,7 +74,8 @@ def _probs(logits, temperature):
 def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
                scfg: SamplingConfig, gamma: int,
                carry_tok, index, caches_t, caches_d, rng,
-               double_scale_t: bool = False, index_d=None):
+               double_scale_t: bool = False, index_d=None,
+               shared_t=None, shared_d=None):
     """One speculative round over a (B,) batch/slot-pool: draft gamma
     tokens, verify in one chunked target forward, accept.
 
@@ -98,7 +106,7 @@ def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
     def draft_step(c, r):
         tok, caches_d, idx = c
         logits, caches_d = _decode_logits(params_d, cfg_d, tok[:, None],
-                                          caches_d, idx)
+                                          caches_d, idx, shared=shared_d)
         logits = logits[:, 0]
         nxt = sample_logits(logits, r, scfg)
         pd_row = _probs(logits, scfg.temperature)
@@ -118,7 +126,8 @@ def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
     chunk = jnp.concatenate([carry_tok[:, None], d_toks], axis=1)
     logits_t, caches_t = _decode_logits(params_t, cfg_t, chunk,
                                         caches_t, index,
-                                        double_scale_t)  # (B, g+1, V)
+                                        double_scale_t,
+                                        shared=shared_t)  # (B, g+1, V)
 
     if scfg.greedy:
         g = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)   # (B, g+1)

@@ -352,7 +352,8 @@ def _decode_block_jit(params, last_tokens, caches, index, active, rng,
 def _spec_core(params, dparams, last_tokens, caches, dcaches,
                index, index_d, active, rng, cfg: MagnetoConfig,
                dcfg: MagnetoConfig, scfg: SamplingConfig,
-               gamma: int, pad_id: int = 1, double_scale: bool = False):
+               gamma: int, pad_id: int = 1, double_scale: bool = False,
+               shared_t=None, shared_d=None):
     """One speculative round for every slot (generate.speculative
     .spec_round over the pool). Inactive slots compute on pad feed; their
     index does not advance and their emitted tokens are ignored.
@@ -365,7 +366,8 @@ def _spec_core(params, dparams, last_tokens, caches, dcaches,
     emit, n_acc, carry_next, caches, dcaches, _ = spec_round(
         params, dparams, cfg, dcfg, scfg, gamma,
         last_tokens, index, caches, dcaches, rng,
-        double_scale_t=double_scale, index_d=index_d)
+        double_scale_t=double_scale, index_d=index_d,
+        shared_t=shared_t, shared_d=shared_d)
     n_emit = jnp.where(active, n_acc + 1, 0)
     index = index + n_emit
     index_d = index_d + n_emit
@@ -387,7 +389,8 @@ def _spec_block_pool_jit(params, dparams, last_tokens, caches, dcaches,
                          index, index_d, active, rng, cfg: MagnetoConfig,
                          dcfg: MagnetoConfig, scfg: SamplingConfig,
                          gamma: int, block: int, pad_id: int = 1,
-                         double_scale: bool = False):
+                         double_scale: bool = False,
+                         shared_t=None, shared_d=None):
     """``block`` speculative rounds per dispatch (lax.scan over the round
     core) — the spec analog of ``_decode_block_jit``: the spec engine is
     host-pipeline-bound at small sync_lag, so amortizing the dispatch +
@@ -398,7 +401,8 @@ def _spec_block_pool_jit(params, dparams, last_tokens, caches, dcaches,
         emit, n_emit, last, caches, dcaches, index, index_d = _spec_core(
             params, dparams, last, caches, dcaches, index, index_d, active,
             jax.random.fold_in(rng, k), cfg, dcfg, scfg, gamma,
-            pad_id=pad_id, double_scale=double_scale)
+            pad_id=pad_id, double_scale=double_scale,
+            shared_t=shared_t, shared_d=shared_d)
         return (last, caches, dcaches, index, index_d), (emit, n_emit)
 
     (last, caches, dcaches, index, index_d), (emits, n_emits) = jax.lax.scan(
@@ -675,11 +679,6 @@ class ServeEngine:
                 f"{self.scfg.max_prompt_len} (a matching prompt needs at "
                 f"least one suffix token)")
         if share:
-            if self.spec:
-                raise NotImplementedError(
-                    "shared-prefix attention with a speculative draft is "
-                    "not implemented (the draft pool would need the shared "
-                    "segment too); use share=False prefix caching")
             if self.num_active or self._inflight or self.pending:
                 raise ValueError("register_prefix(share=True) requires an "
                                  "idle engine (it re-bases slot positions)")
@@ -701,6 +700,15 @@ class ServeEngine:
             self.shared_seg = {"key": key, "len": len(toks),
                                "caches": _trim_shared(c1, len(toks),
                                                       self.cfg.dtype)}
+            if self.spec:
+                # the draft pool attends its OWN shared segment (text-only
+                # prefix prefilled through the draft)
+                _, cd1 = _prefill_one_jit(
+                    self.draft_params, prompt, length, jax.random.PRNGKey(0),
+                    self.draft_cfg, self.sampling, self.scfg.max_len,
+                    interpret=self.interpret)
+                self.shared_seg["draft_caches"] = _trim_shared(
+                    cd1, len(toks), self.draft_cfg.dtype)
             return
         entry = {"caches": c1, "len": len(toks), "draft": None}
         if self.spec:
@@ -811,6 +819,13 @@ class ServeEngine:
         if self.shared_seg is None:
             return None
         return (self.shared_seg["caches"], self.shared_on, self.pos_offset)
+
+    def _shared_d(self):
+        """The DRAFT pool's shared segment (speculative engines)."""
+        if self.shared_seg is None or "draft_caches" not in self.shared_seg:
+            return None
+        return (self.shared_seg["draft_caches"], self.shared_on,
+                self.pos_offset)
 
     def _matches_shared(self, toks) -> bool:
         sh = self.shared_seg
@@ -1018,6 +1033,8 @@ class ServeEngine:
             else:
                 suffix = praw  # already trimmed to the own-cache remainder
                 self.index = self.index.at[slot].set(0)
+                if self.spec:
+                    self.index_d = self.index_d.at[slot].set(0)
             tok = self._suffix_prefill(slot, suffix)
             self._commit_first_token(slot, req, tok)
             return
@@ -1093,7 +1110,7 @@ class ServeEngine:
                 self.draft_params, jnp.asarray(chunk), jnp.asarray(seg),
                 self.draft_caches, self.index_d, jnp.asarray(mask),
                 jnp.asarray(boundary), jax.random.PRNGKey(0),
-                self.draft_cfg, self.sampling)
+                self.draft_cfg, self.sampling, shared=self._shared_d())
         return int(first[slot])
 
     def _commit_first_token(self, slot: int, req: Request, tok: int):
@@ -1218,7 +1235,8 @@ class ServeEngine:
                         self._fold(), self.cfg, self.draft_cfg,
                         self.sampling, self.scfg.spec_gamma, self.block,
                         pad_id=self.scfg.pad_id,
-                        double_scale=self.double_scale)
+                        double_scale=self.double_scale,
+                        shared_t=self._shared(), shared_d=self._shared_d())
             elif self.spec:
                 emit, n_emit, carry, self.caches, self.draft_caches, \
                     self.index, self.index_d = _spec_step_pool_jit(
@@ -1228,7 +1246,8 @@ class ServeEngine:
                         self._fold(), self.cfg, self.draft_cfg,
                         self.sampling, self.scfg.spec_gamma,
                         pad_id=self.scfg.pad_id,
-                        double_scale=self.double_scale)
+                        double_scale=self.double_scale,
+                        shared_t=self._shared(), shared_d=self._shared_d())
                 self.last = carry
             elif self.block > 1:
                 emit, self.last, self.caches, self.index = _decode_block_jit(

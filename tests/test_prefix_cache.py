@@ -223,14 +223,26 @@ def test_shared_prefix_guards(params):
     eng.run()
     eng.register_prefix(PREFIX, share=True)  # idle now: ok
 
+
+def test_shared_prefix_speculative_engine(params):
+    """Shared-prefix attention composes with speculation: target AND draft
+    pools each attend their own broadcast segment; greedy outputs equal
+    full prefill for hits and misses alike."""
     draft_cfg = dataclasses.replace(CFG, layers=1)
     dparams = dec.init_decoder(jax.random.PRNGKey(3), draft_cfg)
-    spec = ServeEngine(params, CFG,
-                       dataclasses.replace(scfg, spec_gamma=2),
-                       SamplingConfig(greedy=True),
-                       draft_params=dparams, draft_cfg=draft_cfg)
-    with pytest.raises(NotImplementedError):
-        spec.register_prefix(PREFIX, share=True)
+    prompts = _shared_prompts(3)
+    new = 6
+    refs = _refs(params, prompts, new)
+    scfg = ServeConfig(max_batch=2, max_prompt_len=16, max_len=64,
+                       spec_gamma=2)
+    eng = ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True),
+                      draft_params=dparams, draft_cfg=draft_cfg)
+    eng.register_prefix(PREFIX, share=True)
+    handles = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    assert eng.prefix_hits == len(prompts) - 1
+    for p, h, ref in zip(prompts, handles, refs):
+        assert h.tokens == ref, (p, h.tokens, ref)
 
 
 def test_shared_and_copy_prefixes_compose(params):
