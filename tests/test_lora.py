@@ -244,6 +244,7 @@ def test_save_restore_params_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_lora_on_kosmos_multimodal():
     """Adapters attach across the full Kosmos tree (decoder q/k/v/out/fc1/
     fc2 AND, with ALL_TARGETS, the resampler/projection linears); zero-init

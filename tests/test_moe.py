@@ -93,7 +93,8 @@ def test_moe_load_balance_is_one_when_uniform():
                                rtol=1e-5)
 
 
-@pytest.mark.parametrize("scan", [False, True])
+@pytest.mark.parametrize("scan", [
+    pytest.param(False, marks=pytest.mark.slow), True])
 def test_decoder_forward_moe(scan):
     cfg = MOE_CFG if not scan else \
         dataclasses.replace(MOE_CFG, scan_layers=True)
@@ -110,6 +111,7 @@ def test_decoder_forward_moe(scan):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_grads_flow_to_all_experts():
     """top_k = E = 2: every expert sees every token, so every expert weight
     and the router must receive a nonzero gradient."""
@@ -155,6 +157,7 @@ def test_moe_param_specs():
     assert ffn["router"]["w"] == P("fsdp", None)
 
 
+@pytest.mark.slow
 def test_moe_expert_parallel_matches_single_device(devices):
     """Forward over a mesh with expert=4: expert weights are physically
     sharded over the expert axis and the result matches unsharded."""
@@ -174,6 +177,7 @@ def test_moe_expert_parallel_matches_single_device(devices):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_kosmos_multimodal_moe_with_aux():
     """The multimodal composition trains with an MoE decoder: Kosmos.apply
     returns (logits, aux) and kosmos_loss_fn folds aux into the loss."""

@@ -137,7 +137,7 @@ from kosmosx_tpu.parallel.pipeline import make_pipeline_train_step_1f1b
 @pytest.mark.parametrize("data,pipe,microbatches", [
     pytest.param(2, 4, 2, marks=pytest.mark.slow),    # M < S
     pytest.param(1, 4, 8, marks=pytest.mark.slow),    # M > S: stash reuse
-    (4, 2, 2),
+    (4, 2, 2),                                        # the fast 1F1B smoke
 ])
 def test_1f1b_matches_single_device(devices, data, pipe, microbatches):
     mesh = make_pp_mesh(data=data, pipe=pipe,

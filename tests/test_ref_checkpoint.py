@@ -143,6 +143,7 @@ def test_scan_layers_stack_unstack():
     _trees_close(params["layers"], back)
 
 
+@pytest.mark.slow
 def test_import_to_scan_layout():
     """A checkpoint imports directly into a scan_layers config."""
     scan_cfg = KosmosConfig(
