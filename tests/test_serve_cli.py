@@ -25,3 +25,21 @@ def test_serve_cli_end_to_end(tmp_path):
     lines = [l for l in out.stdout.splitlines() if l.startswith("[req ")]
     assert len(lines) == 3
     assert "24 tokens / 3 requests" in out.stderr
+
+
+@pytest.mark.slow
+def test_serving_tour_example():
+    """examples/serving_tour.py is living documentation — it must keep
+    running end-to-end (prefixes, adapters, per-request sampling, cancel,
+    warmup, stats)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "serving_tour.py")],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
