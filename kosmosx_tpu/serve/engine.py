@@ -473,12 +473,27 @@ class ServeEngine:
                  rng: Optional[jax.Array] = None,
                  draft_params=None, draft_cfg: Optional[MagnetoConfig] = None,
                  interpret: bool = False, mesh=None):
+        scfg_ = serve_cfg or ServeConfig()
         if cfg.kv_window > 0 or (draft_cfg is not None
                                  and draft_cfg.kv_window > 0):
-            raise NotImplementedError(
-                "the serving engine does not support rolling KV windows "
-                "(kv_window); its slot pool is append-only — use "
-                "generate_text for windowed generation")
+            # rolling-window serving: supported on the PLAIN decode path
+            # (single-token ring writes). Multi-token chunk/verify writes
+            # bypass the ring and would silently overflow the window.
+            if scfg_.prefill_chunk > 0 or scfg_.spec_gamma > 0:
+                raise NotImplementedError(
+                    "kv_window serving does not compose with chunked "
+                    "prefill or speculation (multi-token cache writes "
+                    "bypass the ring)")
+            if draft_cfg is not None and draft_cfg.kv_window != cfg.kv_window:
+                raise ValueError("draft kv_window must match the target's")
+            if cfg.kv_sink >= cfg.kv_window:
+                raise ValueError(f"kv_sink ({cfg.kv_sink}) must be < "
+                                 f"kv_window ({cfg.kv_window})")
+            if scfg_.max_prompt_len > cfg.kv_window:
+                raise ValueError(
+                    f"max_prompt_len ({scfg_.max_prompt_len}) exceeds "
+                    f"kv_window ({cfg.kv_window}); prompts must fit the "
+                    f"window (prefill is a single un-wrapped write)")
         self.cfg = cfg
         self.kcfg = kosmos_cfg
         self.params = params
@@ -497,8 +512,11 @@ class ServeEngine:
         # every engine jit — greedy outputs are identical to single-device,
         # tests/test_serve.py::test_engine_tensor_parallel_params).
         self.mesh = mesh
+        # window-capped cache size: with kv_window the ring bounds memory
+        self.cache_len = (min(self.scfg.max_len, cfg.kv_window)
+                          if cfg.kv_window > 0 else self.scfg.max_len)
         self.caches = self._shard_cache(
-            dec.init_cache(cfg, batch=b, max_len=self.scfg.max_len))
+            dec.init_cache(cfg, batch=b, max_len=self.cache_len))
         self.index = jnp.zeros((b,), jnp.int32)
         self.last = jnp.full((b,), self.scfg.pad_id, jnp.int32)
         self.slots: List[Optional[Request]] = [None] * b
@@ -523,7 +541,7 @@ class ServeEngine:
                     "speculative serving supports greedy or plain "
                     "temperature sampling")
             self.draft_caches = self._shard_cache(
-                dec.init_cache(draft_cfg, batch=b, max_len=self.scfg.max_len))
+                dec.init_cache(draft_cfg, batch=b, max_len=self.cache_len))
             # the draft's own cache index: equals the target's for text
             # slots; lags by n_images*image_embed_len for multimodal slots
             # (the text-only draft proposes from tokens alone; the target's
@@ -622,6 +640,26 @@ class ServeEngine:
         # Prompts matching the SHARED prefix never store it in their own
         # cache, so only the remainder counts against max_len.
         window = self.scfg.overrun_window
+        if self.cfg.kv_window > 0:
+            from kosmosx_tpu.nn.xpos import xpos_position_bound
+
+            if len(prompt) > self.cfg.kv_window:
+                raise ValueError(f"prompt ({len(prompt)}) exceeds kv_window "
+                                 f"({self.cfg.kv_window})")
+            if self.cfg.xpos_rel_pos:
+                bound = xpos_position_bound(self.cfg.xpos_scale_base)
+                if len(prompt) + max_new_tokens + window > bound:
+                    raise ValueError(
+                        f"prompt + max_new_tokens = "
+                        f"{len(prompt) + max_new_tokens} exceeds the xPos "
+                        f"numeric range bound ({bound})")
+            req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
+                          eos_id=eos_id, images=images, adapter=adapter,
+                          temperature=temperature, top_k=top_k, top_p=top_p,
+                          id=self._next_id)
+            self._next_id += 1
+            self.pending.append(req)
+            return req
         own_prompt = len(prompt)
         # mirror _admit's sh_match condition exactly: adapter requests do
         # NOT use the shared segment (it was prefilled with the base model),
@@ -694,7 +732,7 @@ class ServeEngine:
         # deterministic rng: the sampled token is discarded
         _, c1 = _prefill_one_jit(
             self.dec_params, prompt, length, jax.random.PRNGKey(0), self.cfg,
-            self.sampling, self.scfg.max_len, double_scale=self.double_scale,
+            self.sampling, self.cache_len, double_scale=self.double_scale,
             interpret=self.interpret)
         if share:
             self.shared_seg = {"key": key, "len": len(toks),
@@ -705,7 +743,7 @@ class ServeEngine:
                 # prefix prefilled through the draft)
                 _, cd1 = _prefill_one_jit(
                     self.draft_params, prompt, length, jax.random.PRNGKey(0),
-                    self.draft_cfg, self.sampling, self.scfg.max_len,
+                    self.draft_cfg, self.sampling, self.cache_len,
                     interpret=self.interpret)
                 self.shared_seg["draft_caches"] = _trim_shared(
                     cd1, len(toks), self.draft_cfg.dtype)
@@ -714,7 +752,7 @@ class ServeEngine:
         if self.spec:
             _, cd1 = _prefill_one_jit(
                 self.draft_params, prompt, length, jax.random.PRNGKey(0),
-                self.draft_cfg, self.sampling, self.scfg.max_len,
+                self.draft_cfg, self.sampling, self.cache_len,
                 interpret=self.interpret)
             entry["draft"] = cd1
         self.prefix_cache[key] = entry
@@ -999,7 +1037,7 @@ class ServeEngine:
                           else req.images[None])
                 c1, idx0 = _prefill_mm_prefix_jit(
                     self.params, jnp.asarray(praw[:s_idx])[None, :], images,
-                    self.kcfg, self.scfg.max_len)
+                    self.kcfg, self.cache_len)
                 self.caches = _insert_slot_jit(self.caches, c1, slot)
                 self._pf_pos[slot] = s_idx
                 self.index = self.index.at[slot].set(idx0[0])
@@ -1055,7 +1093,7 @@ class ServeEngine:
             r1 = self._row1(req)
             first, c1, full_len = _prefill_mm_one_jit(
                 self.params, prompt, images, length, self._fold(),
-                self.kcfg, self.sampling, self.scfg.max_len, rows=r1)
+                self.kcfg, self.sampling, self.cache_len, rows=r1)
             idx = full_len
         else:
             pparams = (self.adapters[req.adapter]["params"]
@@ -1063,7 +1101,7 @@ class ServeEngine:
             r1 = self._row1(req)
             first, c1 = _prefill_one_jit(
                 pparams, prompt, length, self._fold(), self.cfg,
-                self.sampling, self.scfg.max_len,
+                self.sampling, self.cache_len,
                 double_scale=self.double_scale, interpret=self.interpret,
                 rows=r1)
             idx = length
@@ -1075,7 +1113,7 @@ class ServeEngine:
             # image context). The draft never double-scales.
             _, cd1 = _prefill_one_jit(
                 self.draft_params, prompt, length, self._fold(),
-                self.draft_cfg, self.sampling, self.scfg.max_len,
+                self.draft_cfg, self.sampling, self.cache_len,
                 interpret=self.interpret)
             self.draft_caches = _insert_slot_jit(self.draft_caches, cd1,
                                                  slot)

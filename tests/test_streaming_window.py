@@ -104,3 +104,62 @@ def test_window_guards(params):
     with pytest.raises(ValueError, match="kv_sink"):
         generate_text(params, bad, jnp.asarray([[5, 6]], jnp.int32),
                       SamplingConfig(max_new_tokens=4))
+
+
+def test_engine_serves_with_rolling_window(params):
+    """Plain-engine serving over a kv_window pool: below the window the
+    outputs are bit-identical to an unwindowed engine; past it, requests
+    decode far beyond the cache size with O(window) memory."""
+    from kosmosx_tpu.generate import SamplingConfig
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    cfg_w = dataclasses.replace(CFG, kv_window=24, kv_sink=2,
+                                scan_layers=True)
+    cfg_plain = dataclasses.replace(CFG, scan_layers=True)
+    params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_plain)
+    prompts = [[5, 9, 2, 33], [7, 3, 5]]
+    scfg = ServeConfig(max_batch=2, max_prompt_len=8, max_len=64)
+
+    ref_eng = ServeEngine(params_s, cfg_plain, scfg,
+                          SamplingConfig(greedy=True))
+    refs = [ref_eng.submit(p, max_new_tokens=8) for p in prompts]
+    ref_eng.run()
+
+    eng = ServeEngine(params_s, cfg_w, scfg, SamplingConfig(greedy=True))
+    assert eng.cache_len == 24  # window-capped pool
+    short = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    eng.run()
+    for r, s in zip(refs, short):
+        assert r.tokens == s.tokens  # un-wrapped ring == full cache
+
+    # far past the window AND the cache size: 80 new tokens on a 24-slot
+    # ring (an unwindowed engine would need 4+84 cache positions)
+    h = eng.submit([4, 8, 15, 16], max_new_tokens=80)
+    eng.run()
+    assert h.done and len(h.tokens) == 80
+    assert all(0 <= t < CFG.vocab_size for t in h.tokens)
+
+
+def test_engine_window_guards(params):
+    from kosmosx_tpu.generate import SamplingConfig
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    cfg_w = dataclasses.replace(CFG, kv_window=16, kv_sink=2,
+                                scan_layers=True)
+    params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_w)
+    with pytest.raises(NotImplementedError, match="chunked"):
+        ServeEngine(params_s, cfg_w,
+                    ServeConfig(max_batch=2, max_prompt_len=8, max_len=32,
+                                prefill_chunk=4),
+                    SamplingConfig(greedy=True))
+    with pytest.raises(ValueError, match="max_prompt_len"):
+        ServeEngine(params_s, cfg_w,
+                    ServeConfig(max_batch=2, max_prompt_len=32, max_len=64),
+                    SamplingConfig(greedy=True))
+    # budgets beyond the cache size are accepted (the ring reuses slots)
+    eng = ServeEngine(params_s, cfg_w,
+                      ServeConfig(max_batch=2, max_prompt_len=8, max_len=32),
+                      SamplingConfig(greedy=True))
+    h = eng.submit([5, 6, 7], max_new_tokens=60)
+    eng.run()
+    assert h.done and len(h.tokens) == 60
