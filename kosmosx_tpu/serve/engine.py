@@ -294,6 +294,11 @@ def _decode_core(params, last_tokens, caches, index, active, rng,
     last_tokens = jnp.where(active, last_tokens, pad_id)
     shared_caches, shared_on, pos_offset = shared or (None, None, None)
     pos = index if pos_offset is None else index + pos_offset
+    if cfg.kv_window > 0:
+        # rolling-window serving: learned-table positions clamp at the last
+        # usable row past the table edge (jnp.take would fill NaN); xPos
+        # rotation inside attention keeps the true absolute index
+        pos = jnp.minimum(pos, cfg.max_target_positions - 1)
     if double_scale:
         emb = dec.embed_only(params, cfg, last_tokens[:, None])
         x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
@@ -494,6 +499,12 @@ class ServeEngine:
                     f"max_prompt_len ({scfg_.max_prompt_len}) exceeds "
                     f"kv_window ({cfg.kv_window}); prompts must fit the "
                     f"window (prefill is a single un-wrapped write)")
+            if scfg_.max_len < cfg.kv_window:
+                raise ValueError(
+                    f"max_len ({scfg_.max_len}) < kv_window "
+                    f"({cfg.kv_window}): ring writes target positions in "
+                    f"[0, kv_window) — a smaller buffer silently drops "
+                    f"them; set max_len >= kv_window")
         self.cfg = cfg
         self.kcfg = kosmos_cfg
         self.params = params
@@ -641,38 +652,36 @@ class ServeEngine:
         # cache, so only the remainder counts against max_len.
         window = self.scfg.overrun_window
         if self.cfg.kv_window > 0:
+            # windowed pool: prompt + IMAGE EMBEDS must fit the un-wrapped
+            # prefill; budgets are unbounded by the cache (the ring reuses
+            # slots), limited only by the xPos numeric range
             from kosmosx_tpu.nn.xpos import xpos_position_bound
 
-            if len(prompt) > self.cfg.kv_window:
-                raise ValueError(f"prompt ({len(prompt)}) exceeds kv_window "
-                                 f"({self.cfg.kv_window})")
+            if len(prompt) + extra > self.cfg.kv_window:
+                raise ValueError(
+                    f"prompt ({len(prompt)}) + image embeds ({extra}) "
+                    f"exceeds kv_window ({self.cfg.kv_window})")
             if self.cfg.xpos_rel_pos:
                 bound = xpos_position_bound(self.cfg.xpos_scale_base)
-                if len(prompt) + max_new_tokens + window > bound:
+                if len(prompt) + extra + max_new_tokens + window > bound:
                     raise ValueError(
-                        f"prompt + max_new_tokens = "
-                        f"{len(prompt) + max_new_tokens} exceeds the xPos "
-                        f"numeric range bound ({bound})")
-            req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
-                          eos_id=eos_id, images=images, adapter=adapter,
-                          temperature=temperature, top_k=top_k, top_p=top_p,
-                          id=self._next_id)
-            self._next_id += 1
-            self.pending.append(req)
-            return req
-        own_prompt = len(prompt)
-        # mirror _admit's sh_match condition exactly: adapter requests do
-        # NOT use the shared segment (it was prefilled with the base model),
-        # so their whole prompt occupies their own cache
-        if images is None and adapter is None \
-                and self._matches_shared(prompt):
-            own_prompt -= self.shared_seg["len"]
-        if (own_prompt + extra + max_new_tokens + window
-                > self.scfg.max_len):
-            raise ValueError(
-                f"prompt ({own_prompt} own-cache tokens) + image embeds "
-                f"({extra}) + max_new_tokens ({max_new_tokens}) exceeds "
-                f"cache length {self.scfg.max_len}")
+                        f"prompt + image embeds + max_new_tokens = "
+                        f"{len(prompt) + extra + max_new_tokens} exceeds "
+                        f"the xPos numeric range bound ({bound})")
+        else:
+            own_prompt = len(prompt)
+            # mirror _admit's sh_match condition exactly: adapter requests
+            # do NOT use the shared segment (it was prefilled with the base
+            # model), so their whole prompt occupies their own cache
+            if images is None and adapter is None \
+                    and self._matches_shared(prompt):
+                own_prompt -= self.shared_seg["len"]
+            if (own_prompt + extra + max_new_tokens + window
+                    > self.scfg.max_len):
+                raise ValueError(
+                    f"prompt ({own_prompt} own-cache tokens) + image embeds "
+                    f"({extra}) + max_new_tokens ({max_new_tokens}) exceeds "
+                    f"cache length {self.scfg.max_len}")
         req = Request(prompt=prompt, max_new_tokens=max_new_tokens,
                       eos_id=eos_id, images=images, adapter=adapter,
                       temperature=temperature, top_k=top_k, top_p=top_p,

@@ -132,12 +132,17 @@ def test_engine_serves_with_rolling_window(params):
     for r, s in zip(refs, short):
         assert r.tokens == s.tokens  # un-wrapped ring == full cache
 
-    # far past the window AND the cache size: 80 new tokens on a 24-slot
-    # ring (an unwindowed engine would need 4+84 cache positions)
+    # far past the window, the cache size AND the learned position table
+    # (max_positions=64): 80 new tokens on a 24-slot ring must be
+    # BIT-IDENTICAL to the windowed one-shot generator (this catches both
+    # the under-allocated-ring and the table-edge-NaN corruption classes)
     h = eng.submit([4, 8, 15, 16], max_new_tokens=80)
     eng.run()
     assert h.done and len(h.tokens) == 80
-    assert all(0 <= t < CFG.vocab_size for t in h.tokens)
+    ref = generate_text(params_s, cfg_w,
+                        jnp.asarray([[4, 8, 15, 16]], jnp.int32),
+                        SamplingConfig(max_new_tokens=80, greedy=True))
+    assert h.tokens == [int(t) for t in np.asarray(ref[0])]
 
 
 def test_engine_window_guards(params):
@@ -155,6 +160,10 @@ def test_engine_window_guards(params):
     with pytest.raises(ValueError, match="max_prompt_len"):
         ServeEngine(params_s, cfg_w,
                     ServeConfig(max_batch=2, max_prompt_len=32, max_len=64),
+                    SamplingConfig(greedy=True))
+    with pytest.raises(ValueError, match="ring writes"):
+        ServeEngine(params_s, cfg_w,
+                    ServeConfig(max_batch=2, max_prompt_len=8, max_len=8),
                     SamplingConfig(greedy=True))
     # budgets beyond the cache size are accepted (the ring reuses slots)
     eng = ServeEngine(params_s, cfg_w,
