@@ -55,6 +55,10 @@ def main(argv=None):
                          "every request's prompt starts with it, so "
                          "admission prefills only prompt_len - prefix_len "
                          "tokens (ServeEngine.register_prefix)")
+    ap.add_argument("--kv-window", type=int, default=0,
+                    help="rolling KV window (StreamingLLM sinks + ring): "
+                         "slot caches hold kv_window positions however "
+                         "long the generation runs")
     ap.add_argument("--share-prefix", action="store_true",
                     help="with --prefix-len: shared-prefix ATTENTION "
                          "(share=True) — one broadcast KV segment, no "
@@ -63,6 +67,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.prefix_len >= args.prompt_len:
         raise SystemExit("--prefix-len must be < --prompt-len")
+
+    from kosmosx_tpu.utils.platform import honor_jax_platforms
+    honor_jax_platforms()  # JAX_PLATFORMS=cpu works for local smoke runs
 
     import jax
     import jax.numpy as jnp
@@ -77,7 +84,8 @@ def main(argv=None):
                         layers=args.layers, heads=args.dim // 64,
                         max_positions=8194, compute_dtype="bfloat16",
                         scan_layers=True, dropout=0.0, attention_dropout=0.0,
-                        kv_cache_dtype="int8" if args.kv8 else None)
+                        kv_cache_dtype="int8" if args.kv8 else None,
+                        kv_window=args.kv_window)
     kcfg = None
     if args.multimodal:
         from kosmosx_tpu.core.config import (KosmosConfig, ResamplerConfig,
@@ -112,6 +120,9 @@ def main(argv=None):
                   if args.share_prefix else args.prompt_len)
     max_len = (own_prompt + extra + args.new_tokens
                + window_cfg.overrun_window)
+    if args.kv_window:
+        # ring pool: cache sized at the window regardless of budgets
+        max_len = max(args.kv_window, args.prompt_len)
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=args.slots,
                                   max_prompt_len=args.prompt_len,
@@ -209,7 +220,8 @@ def main(argv=None):
                   f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''}"
                   f"{f', decode_block={args.decode_block}' if args.decode_block else ''}"
                   f"{f', prefix_len={args.prefix_len}' if args.prefix_len else ''}"
-                  f"{', SHARED-prefix attention' if args.share_prefix else ''})",
+                  f"{', SHARED-prefix attention' if args.share_prefix else ''}"
+                  f"{f', kv_window={args.kv_window}' if args.kv_window else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),
