@@ -42,18 +42,16 @@ class SamplingConfig:
 
 def sample_logits(logits: jax.Array, rng: jax.Array,
                   cfg: SamplingConfig,
-                  temps: Optional[jax.Array] = None,
                   rows=None) -> jax.Array:
     """logits (B, V) -> token ids (B,).
 
     Per-ROW overrides (serving: every request picks its own sampling):
-    either ``temps`` (B,) alone — sentinel < 0 = use ``cfg``, 0 = greedy,
-    > 0 = temperature sampling — or ``rows = (on, temps, top_ks, top_ps)``
-    with ``on`` (B,) bool selecting rows whose (temp, top-k, top-p) fully
-    replace the static config (top_ks 0 = off, top_ps 1.0 = off; rows with
-    ``on`` False keep ``cfg``'s behavior). All static shapes: per-row top-k
-    is a rank threshold against the row's k-th sorted logit, per-row top-p
-    a cumulative-probability cutoff."""
+    ``rows = (on, temps, top_ks, top_ps)`` with ``on`` (B,) bool selecting
+    rows whose (temp, top-k, top-p) fully replace the static config
+    (temp 0 = greedy; top_ks 0 = off; top_ps 1.0 = off; rows with ``on``
+    False keep ``cfg``'s behavior). All static shapes: per-row top-k is a
+    rank threshold against the row's k-th sorted logit, per-row top-p a
+    cumulative-probability cutoff."""
     if rows is not None:
         on, t, ks, ps = rows
         base = sample_logits(logits, rng, cfg)
@@ -77,15 +75,6 @@ def sample_logits(logits: jax.Array, rng: jax.Array,
         greedy = jnp.argmax(l32, axis=-1).astype(jnp.int32)
         per_row = jnp.where(t <= 1e-6, greedy, sampled)
         return jnp.where(on, per_row, base)
-    if temps is not None:
-        base = sample_logits(logits, rng, cfg)
-        l32 = logits.astype(jnp.float32)
-        scaled = l32 / jnp.maximum(temps, 1e-6)[:, None]
-        sampled = jax.random.categorical(rng, scaled, axis=-1
-                                         ).astype(jnp.int32)
-        greedy = jnp.argmax(l32, axis=-1).astype(jnp.int32)
-        per_row = jnp.where(temps <= 1e-6, greedy, sampled)
-        return jnp.where(temps < 0, base, per_row)
     logits = logits.astype(jnp.float32)
     if cfg.greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)

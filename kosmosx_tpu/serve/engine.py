@@ -578,7 +578,7 @@ class ServeEngine:
         self.slot_temp = jnp.ones((b,), jnp.float32)
         self.slot_topk = jnp.zeros((b,), jnp.int32)
         self.slot_topp = jnp.ones((b,), jnp.float32)
-        self._use_rows = False
+        self._override_host = [False] * b  # host mirror of slot_override
         self.adapters: Dict[str, Any] = {}
         self._slot_lora = None       # mirror tree, leaves stacked over slots
         self._slot_axes = None       # slot axis per leaf (1 under scan stack)
@@ -729,6 +729,17 @@ class ServeEngine:
             if self.num_active or self._inflight or self.pending:
                 raise ValueError("register_prefix(share=True) requires an "
                                  "idle engine (it re-bases slot positions)")
+            if self.cfg.kv_window == 0 and \
+                    len(toks) + self.scfg.max_len \
+                    > self.cfg.max_target_positions:
+                # matching slots embed at offset index + P; traced offsets
+                # bypass the positional table's loud host-side bound check,
+                # so enforce it here instead of silently clamping
+                raise ValueError(
+                    f"shared prefix ({len(toks)}) + max_len "
+                    f"({self.scfg.max_len}) exceeds the learned position "
+                    f"table ({self.cfg.max_target_positions}); raise "
+                    f"max_positions or shrink max_len")
         key = tuple(toks)
         if not share and key in self.prefix_cache:
             self.prefix_cache.move_to_end(key)
@@ -855,8 +866,11 @@ class ServeEngine:
 
     def _rows(self):
         """Per-slot sampling-override vectors (on, temp, top_k, top_p), or
-        None until any request asks for one."""
-        if not self._use_rows:
+        None while no OCCUPIED slot carries an override — all-default
+        traffic keeps the cheap sampler program (the rows variant pays two
+        (B, V) sorts per step)."""
+        if not any(self._override_host[i]
+                   for i, s in enumerate(self.slots) if s is not None):
             return None
         return (self.slot_override, self.slot_temp, self.slot_topk,
                 self.slot_topp)
@@ -909,11 +923,14 @@ class ServeEngine:
         tok = self.scfg.pad_id + 1
         p = self.scfg.max_prompt_len
         flavors = []
-        for b in sorted(self.scfg.prompt_buckets):
-            if b <= p:
-                flavors.append({"prompt": [tok] * b})
-        # the full-length (no-bucket-fits) program always exists
-        flavors.append({"prompt": [tok] * p})
+        buckets = [b for b in sorted(self.scfg.prompt_buckets) if b <= p]
+        for b in buckets:
+            flavors.append({"prompt": [tok] * b})
+        # the full-length (pad-to-max_prompt_len) program: use the SHORTEST
+        # prompt that misses every bucket, so tight max_len budgets can
+        # still admit it
+        full_len = min(p, (max(buckets) + 1) if buckets else 2)
+        flavors.append({"prompt": [tok] * full_len})
         if adapters:
             for name in self.adapters:
                 flavors.append({"prompt": [self.scfg.pad_id + 1] * 2,
@@ -1003,8 +1020,7 @@ class ServeEngine:
         # only top-k/top-p are given)
         override = (req.temperature is not None or req.top_k is not None
                     or req.top_p is not None)
-        if override:
-            self._use_rows = True
+        self._override_host[slot] = override
         self.slot_override = self.slot_override.at[slot].set(override)
         self.slot_temp = self.slot_temp.at[slot].set(
             1.0 if req.temperature is None else float(req.temperature))

@@ -163,6 +163,9 @@ class ServeServer:
                                  "requests")
                 for t in self._tracked:
                     t.error = "engine failure"
+                    if t.request is not None:
+                        eng.cancel(t.request)  # reclaim the slot
+                        self._by_id.pop(t.request.id, None)
                     t.chunks.put(None)
                     t.done.set()
                 self._tracked.clear()

@@ -172,13 +172,20 @@ def main(argv=None):
         prefix_ids = [int(t) for t in np.asarray(pids).reshape(-1)]
 
     def _with_prefix(ids):
-        """Prepend the system prefix (dropping the prompt's duplicate BOS)."""
+        """Prepend the system prefix (dropping the prompt's duplicate
+        BOS); over-length combinations fail loudly instead of silently
+        cutting the user's text."""
         if prefix_ids is None:
             return ids
         ids = list(ids)
         if ids and ids[0] == prefix_ids[0]:
             ids = ids[1:]
-        return (prefix_ids + ids)[:args.max_prompt_len]
+        out = prefix_ids + ids
+        if len(out) > args.max_prompt_len:
+            raise SystemExit(
+                f"system prefix ({len(prefix_ids)}) + prompt ({len(ids)}) "
+                f"exceeds --max-prompt-len {args.max_prompt_len}")
+        return out
 
     if args.http is not None:
         scfg = ServeConfig(

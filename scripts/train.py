@@ -201,8 +201,6 @@ def main(argv=None):
             batches = pretokenized_batches(
                 args.pretokenized, batch_size=args.batch_size,
                 seq_len=args.seq_len, dtype=args.token_dtype)
-            if shard is not None:
-                batches = shard_stream(batches, *shard)
         elif args.hf_dataset:
             from kosmosx_tpu.data.tokenizer import KosmosTokenizer
 
@@ -213,10 +211,6 @@ def main(argv=None):
             batches = packed_text_batches(
                 docs, batch_size=args.batch_size, seq_len=args.seq_len,
                 eos_id=tok.eos_token_id)
-            if shard is not None:
-                # shard BATCHES (equal-rate), not docs (unequal lengths
-                # would desync per-process step counts)
-                batches = shard_stream(batches, *shard)
         elif args.text_files:
             from kosmosx_tpu.data.tokenizer import KosmosTokenizer
 
@@ -225,8 +219,6 @@ def main(argv=None):
             batches = packed_text_batches(
                 docs, batch_size=args.batch_size, seq_len=args.seq_len,
                 eos_id=tok.eos_token_id)
-            if shard is not None:
-                batches = shard_stream(batches, *shard)
         else:
             raise SystemExit("need --synthetic, --pretokenized, "
                              "--hf-dataset, or --text-files")
@@ -262,6 +254,12 @@ def main(argv=None):
         else:
             raise SystemExit("kosmos training needs --synthetic or "
                              "--dataset-dir (captions.jsonl + images)")
+
+    if shard is not None:
+        # EVERY source shards at BATCH granularity (equal per-process rate;
+        # synthetic streams included — identical streams would otherwise be
+        # presented as disjoint local shards, duplicating data)
+        batches = shard_stream(batches, *shard)
 
     base_params = None
     if args.init_checkpoint:
