@@ -94,6 +94,15 @@ def sample_logits(logits: jax.Array, rng: jax.Array,
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+def token_logprob(logits: jax.Array, tokens: jax.Array) -> jax.Array:
+    """Raw-model log p(token): gathered logit minus logsumexp, fp32.
+    logits (..., V), tokens (...) -> (...)."""
+    l32 = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(l32, axis=-1)
+    true = jnp.take_along_axis(l32, tokens[..., None], axis=-1)[..., 0]
+    return true - logz
+
+
 # ---------------------------------------------------------------------------
 # text-only generation (KosmosLanguage)
 # ---------------------------------------------------------------------------

@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from kosmosx_tpu.core.config import MagnetoConfig
-from kosmosx_tpu.generate.sampler import SamplingConfig, _prefill, sample_logits
+from kosmosx_tpu.generate.sampler import (SamplingConfig, _prefill,
+                                           sample_logits, token_logprob)
 from kosmosx_tpu.nn import decoder as dec
 
 
@@ -79,8 +80,9 @@ def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
     """One speculative round over a (B,) batch/slot-pool: draft gamma
     tokens, verify in one chunked target forward, accept.
 
-    Returns ``(emit, n_acc, carry_next, caches_t, caches_d, rng)`` where
-    ``emit`` (B, gamma+1) holds the round's committable tokens
+    Returns ``(emit, emit_lp, n_acc, carry_next, caches_t, caches_d,
+    rng)`` where ``emit`` (B, gamma+1) holds the round's committable tokens
+    and ``emit_lp`` their raw-model target log-probs
     (d_1..d_{n_acc}, then the correction/bonus token at position n_acc;
     entries past that are junk) and ``carry_next`` is the token to feed
     next round. The caller decides how many to actually commit (done/EOS/
@@ -158,7 +160,10 @@ def spec_round(params_t, params_d, cfg_t: MagnetoConfig, cfg_d: MagnetoConfig,
     carry_next = corrections[jnp.arange(b), jnp.minimum(n_acc, gamma)]
     emit = jnp.concatenate([d_toks, carry_next[:, None]], axis=1)
     emit = emit.at[jnp.arange(b), n_acc].set(carry_next)
-    return emit, n_acc, carry_next, caches_t, caches_d, rng
+    # target log-probs of the emitted window (position j's logits scored
+    # the token emitted at j — d_{j+1} or the correction/bonus)
+    emit_lp = token_logprob(logits_t, emit)
+    return emit, emit_lp, n_acc, carry_next, caches_t, caches_d, rng
 
 
 @functools.partial(jax.jit,
@@ -195,7 +200,7 @@ def _speculative_jit(params_t, params_d, prompt, prompt_lengths, rng,
         out, out_pos, carry_tok, index, caches_t, caches_d, done, rng, \
             n_rounds, n_accepted, n_proposed = state
 
-        emit, n_acc, carry_next, caches_t, caches_d, rng = spec_round(
+        emit, _, n_acc, carry_next, caches_t, caches_d, rng = spec_round(
             params_t, params_d, cfg_t, cfg_d, scfg, gamma,
             carry_tok, index, caches_t, caches_d, rng)
         n_emit = jnp.where(done, 0, n_acc + 1)

@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 
 from kosmosx_tpu.core.config import KosmosConfig, MagnetoConfig
-from kosmosx_tpu.generate.sampler import SamplingConfig, sample_logits, _prefill
+from kosmosx_tpu.generate.sampler import (SamplingConfig, _prefill,
+                                           sample_logits, token_logprob)
 from kosmosx_tpu.nn import decoder as dec
 from kosmosx_tpu.nn import layers
 
@@ -140,6 +141,7 @@ class Request:
     # filled by the engine:
     id: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -170,7 +172,7 @@ def _prefill_one_jit(params, prompt, length, rng, cfg: MagnetoConfig,
     last_logits, caches = _prefill(params, cfg, x, caches, length, seg,
                                    interpret=interpret)
     first = sample_logits(last_logits, rng, scfg, rows=rows)
-    return first, caches
+    return first, token_logprob(last_logits, first), caches
 
 
 @functools.partial(jax.jit, static_argnames=("kcfg", "scfg", "max_len"))
@@ -203,7 +205,7 @@ def _prefill_mm_one_jit(params, prompt, images, length, rng,
     last_logits, caches = _prefill(params["decoder"], dcfg, x, caches,
                                    full_length, seg)
     first = sample_logits(last_logits, rng, scfg, rows=rows)
-    return first, caches, full_length
+    return first, token_logprob(last_logits, first), caches, full_length
 
 
 @functools.partial(jax.jit, static_argnames=("kcfg", "max_len"))
@@ -314,7 +316,7 @@ def _decode_core(params, last_tokens, caches, index, active, rng,
     logits = dec.output_logits(params, h, cfg)[:, 0]
     nxt = sample_logits(logits, rng, scfg, rows=rows)
     index = index + active.astype(index.dtype)
-    return nxt, caches, index
+    return nxt, token_logprob(logits, nxt), caches, index
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "pad_id",
@@ -343,15 +345,15 @@ def _decode_block_jit(params, last_tokens, caches, index, active, rng,
     top of a ~7-10 ms flagship decode step. Returns (B, block) tokens."""
     def body(carry, k):
         last, caches, index = carry
-        nxt, caches, index = _decode_core(
+        nxt, lp, caches, index = _decode_core(
             params, last, caches, index, active, jax.random.fold_in(rng, k),
             cfg, scfg, pad_id=pad_id, double_scale=double_scale,
             shared=shared, rows=rows, interpret=interpret)
-        return (nxt, caches, index), nxt
+        return (nxt, caches, index), (nxt, lp)
 
-    (last, caches, index), toks = jax.lax.scan(
+    (last, caches, index), (toks, lps) = jax.lax.scan(
         body, (last_tokens, caches, index), jnp.arange(block))
-    return toks.T, last, caches, index
+    return toks.T, lps.T, last, caches, index
 
 
 def _spec_core(params, dparams, last_tokens, caches, dcaches,
@@ -368,7 +370,7 @@ def _spec_core(params, dparams, last_tokens, caches, dcaches,
     from kosmosx_tpu.generate.speculative import spec_round
 
     last_tokens = jnp.where(active, last_tokens, pad_id)
-    emit, n_acc, carry_next, caches, dcaches, _ = spec_round(
+    emit, emit_lp, n_acc, carry_next, caches, dcaches, _ = spec_round(
         params, dparams, cfg, dcfg, scfg, gamma,
         last_tokens, index, caches, dcaches, rng,
         double_scale_t=double_scale, index_d=index_d,
@@ -376,7 +378,7 @@ def _spec_core(params, dparams, last_tokens, caches, dcaches,
     n_emit = jnp.where(active, n_acc + 1, 0)
     index = index + n_emit
     index_d = index_d + n_emit
-    return emit, n_emit, carry_next, caches, dcaches, index, index_d
+    return emit, emit_lp, n_emit, carry_next, caches, dcaches, index, index_d
 
 
 # in-place cache scatters: donate both cache pools
@@ -403,17 +405,19 @@ def _spec_block_pool_jit(params, dparams, last_tokens, caches, dcaches,
     n_emits (block, B)."""
     def body(carry, k):
         last, caches, dcaches, index, index_d = carry
-        emit, n_emit, last, caches, dcaches, index, index_d = _spec_core(
-            params, dparams, last, caches, dcaches, index, index_d, active,
-            jax.random.fold_in(rng, k), cfg, dcfg, scfg, gamma,
-            pad_id=pad_id, double_scale=double_scale,
-            shared_t=shared_t, shared_d=shared_d)
-        return (last, caches, dcaches, index, index_d), (emit, n_emit)
+        emit, emit_lp, n_emit, last, caches, dcaches, index, index_d = \
+            _spec_core(
+                params, dparams, last, caches, dcaches, index, index_d,
+                active, jax.random.fold_in(rng, k), cfg, dcfg, scfg, gamma,
+                pad_id=pad_id, double_scale=double_scale,
+                shared_t=shared_t, shared_d=shared_d)
+        return (last, caches, dcaches, index, index_d), \
+            (emit, emit_lp, n_emit)
 
-    (last, caches, dcaches, index, index_d), (emits, n_emits) = jax.lax.scan(
-        body, (last_tokens, caches, dcaches, index, index_d),
-        jnp.arange(block))
-    return emits, n_emits, last, caches, dcaches, index, index_d
+    (last, caches, dcaches, index, index_d), (emits, emit_lps, n_emits) = \
+        jax.lax.scan(body, (last_tokens, caches, dcaches, index, index_d),
+                     jnp.arange(block))
+    return emits, emit_lps, n_emits, last, caches, dcaches, index, index_d
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "double_scale"),
@@ -456,7 +460,7 @@ def _prefill_chunk_pool_jit(params, tokens, seg, caches, index, prefill_mask,
     first = sample_logits(blog, rng, scfg, rows=rows)
     n_valid = jnp.sum((seg >= 0).astype(jnp.int32), axis=1)
     index = index + jnp.where(prefill_mask, n_valid, 0)
-    return first, caches, index
+    return first, token_logprob(blog, first), caches, index
 
 
 class ServeEngine:
@@ -750,7 +754,7 @@ class ServeEngine:
                    constant_values=self.scfg.pad_id))[None, :]
         length = jnp.asarray([len(toks)], jnp.int32)
         # deterministic rng: the sampled token is discarded
-        _, c1 = _prefill_one_jit(
+        _, _, c1 = _prefill_one_jit(
             self.dec_params, prompt, length, jax.random.PRNGKey(0), self.cfg,
             self.sampling, self.cache_len, double_scale=self.double_scale,
             interpret=self.interpret)
@@ -761,7 +765,7 @@ class ServeEngine:
             if self.spec:
                 # the draft pool attends its OWN shared segment (text-only
                 # prefix prefilled through the draft)
-                _, cd1 = _prefill_one_jit(
+                _, _, cd1 = _prefill_one_jit(
                     self.draft_params, prompt, length, jax.random.PRNGKey(0),
                     self.draft_cfg, self.sampling, self.cache_len,
                     interpret=self.interpret)
@@ -770,7 +774,7 @@ class ServeEngine:
             return
         entry = {"caches": c1, "len": len(toks), "draft": None}
         if self.spec:
-            _, cd1 = _prefill_one_jit(
+            _, _, cd1 = _prefill_one_jit(
                 self.draft_params, prompt, length, jax.random.PRNGKey(0),
                 self.draft_cfg, self.sampling, self.cache_len,
                 interpret=self.interpret)
@@ -1098,8 +1102,8 @@ class ServeEngine:
                 self.index = self.index.at[slot].set(0)
                 if self.spec:
                     self.index_d = self.index_d.at[slot].set(0)
-            tok = self._suffix_prefill(slot, suffix)
-            self._commit_first_token(slot, req, tok)
+            tok, tlp = self._suffix_prefill(slot, suffix)
+            self._commit_first_token(slot, req, tok, tlp)
             return
         # bucketed admission (ServeConfig.prompt_buckets): pad to the
         # smallest bucket that fits — prefill FLOPs scale with the bucket,
@@ -1116,7 +1120,7 @@ class ServeEngine:
         if req.images is not None:
             images = req.images if req.images.ndim == 5 else req.images[None]
             r1 = self._row1(req)
-            first, c1, full_len = _prefill_mm_one_jit(
+            first, flp, c1, full_len = _prefill_mm_one_jit(
                 self.params, prompt, images, length, self._fold(),
                 self.kcfg, self.sampling, self.cache_len, rows=r1)
             idx = full_len
@@ -1124,7 +1128,7 @@ class ServeEngine:
             pparams = (self.adapters[req.adapter]["params"]
                        if req.adapter is not None else self.dec_params)
             r1 = self._row1(req)
-            first, c1 = _prefill_one_jit(
+            first, flp, c1 = _prefill_one_jit(
                 pparams, prompt, length, self._fold(), self.cfg,
                 self.sampling, self.cache_len,
                 double_scale=self.double_scale, interpret=self.interpret,
@@ -1136,7 +1140,7 @@ class ServeEngine:
             # that's the raw prompt incl. the <image></image> tag ids; it
             # never sees image embeddings — the target's verify carries the
             # image context). The draft never double-scales.
-            _, cd1 = _prefill_one_jit(
+            _, _, cd1 = _prefill_one_jit(
                 self.draft_params, prompt, length, self._fold(),
                 self.draft_cfg, self.sampling, self.cache_len,
                 interpret=self.interpret)
@@ -1144,7 +1148,7 @@ class ServeEngine:
                                                  slot)
             self.index_d = self.index_d.at[slot].set(len(praw))
         self.index = self.index.at[slot].set(idx[0])
-        self._commit_first_token(slot, req, int(first[0]))
+        self._commit_first_token(slot, req, int(first[0]), float(flp[0]))
 
     def _suffix_prefill(self, slot: int, suffix) -> int:
         """Prefill ``suffix`` tokens for ONE slot through the pooled chunk
@@ -1162,27 +1166,29 @@ class ServeEngine:
         boundary[slot] = len(suffix) - 1
         mask = np.zeros((b,), bool)
         mask[slot] = True
-        first, self.caches, self.index = _prefill_chunk_pool_jit(
+        first, flp, self.caches, self.index = _prefill_chunk_pool_jit(
             self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
             self.caches, self.index, jnp.asarray(mask),
             jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
             double_scale=self.double_scale, shared=self._shared(),
             rows=self._rows())
         if self.spec:
-            _, self.draft_caches, self.index_d = _prefill_chunk_pool_jit(
+            _, _, self.draft_caches, self.index_d = _prefill_chunk_pool_jit(
                 self.draft_params, jnp.asarray(chunk), jnp.asarray(seg),
                 self.draft_caches, self.index_d, jnp.asarray(mask),
                 jnp.asarray(boundary), jax.random.PRNGKey(0),
                 self.draft_cfg, self.sampling, shared=self._shared_d())
-        return int(first[slot])
+        return int(first[slot]), float(flp[slot])
 
-    def _commit_first_token(self, slot: int, req: Request, tok: int):
+    def _commit_first_token(self, slot: int, req: Request, tok: int,
+                            lp: float):
         """Bookkeeping shared by every admission flavor: the prefill's
         sampled token enters the slot's device feed and the request's
         output, and counts toward its budget."""
         self.last = self.last.at[slot].set(tok)
         self.slots[slot] = req
         req.tokens.append(tok)
+        req.logprobs.append(lp)
         self._dispatched[slot] = 1
         self.emitted_total += 1
         self._maybe_finish(slot, tok)
@@ -1238,7 +1244,7 @@ class ServeEngine:
             mask[slot] = True
             if pos + n >= plen:
                 completing.append(slot)
-        first, self.caches, self.index = _prefill_chunk_pool_jit(
+        first, flp, self.caches, self.index = _prefill_chunk_pool_jit(
             self._pool_params(), jnp.asarray(chunk), jnp.asarray(seg),
             self.caches, self.index, jnp.asarray(mask),
             jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
@@ -1246,6 +1252,7 @@ class ServeEngine:
             rows=self._rows())
         if completing:
             toks = jax.device_get(first)
+            lps = jax.device_get(flp)
             for slot in completing:
                 req = self.slots[slot]
                 tok = int(toks[slot])
@@ -1253,6 +1260,7 @@ class ServeEngine:
                 self._pf_pos[slot] = -1
                 if req is not None:
                     req.tokens.append(tok)
+                    req.logprobs.append(float(lps[slot]))
                     self._dispatched[slot] = 1  # prefill token counts
                     self.emitted_total += 1
                     self._finish_if_needed(slot, req, tok)
@@ -1290,7 +1298,8 @@ class ServeEngine:
                 self._active_key = key
             active = self._active_dev
             if self.spec and self.block > 1:
-                emit, n_emit, self.last, self.caches, self.draft_caches, \
+                emit, emit_lp, n_emit, self.last, self.caches, \
+                    self.draft_caches, \
                     self.index, self.index_d = _spec_block_pool_jit(
                         self.dec_params, self.draft_params, self.last,
                         self.caches, self.draft_caches, self.index,
@@ -1301,7 +1310,8 @@ class ServeEngine:
                         double_scale=self.double_scale,
                         shared_t=self._shared(), shared_d=self._shared_d())
             elif self.spec:
-                emit, n_emit, carry, self.caches, self.draft_caches, \
+                emit, emit_lp, n_emit, carry, self.caches, \
+                    self.draft_caches, \
                     self.index, self.index_d = _spec_step_pool_jit(
                         self.dec_params, self.draft_params, self.last,
                         self.caches, self.draft_caches, self.index,
@@ -1313,7 +1323,8 @@ class ServeEngine:
                         shared_t=self._shared(), shared_d=self._shared_d())
                 self.last = carry
             elif self.block > 1:
-                emit, self.last, self.caches, self.index = _decode_block_jit(
+                emit, emit_lp, self.last, self.caches, self.index = \
+                    _decode_block_jit(
                     self._pool_params(), self.last, self.caches, self.index,
                     active, self._fold(), self.cfg, self.sampling,
                     self.block, pad_id=self.scfg.pad_id,
@@ -1322,7 +1333,7 @@ class ServeEngine:
                     interpret=self.interpret)
                 n_emit = [self.block if a else 0 for a in active_list]
             else:
-                nxt, self.caches, self.index = _decode_step_jit(
+                nxt, nlp, self.caches, self.index = _decode_step_jit(
                     self._pool_params(), self.last, self.caches, self.index,
                     active, self._fold(), self.cfg, self.sampling,
                     pad_id=self.scfg.pad_id,
@@ -1337,6 +1348,7 @@ class ServeEngine:
                 # one token per slot that was ACTIVE in this dispatch
                 # (occupied-but-prefilling slots must not be credited)
                 emit = nxt[:, None]
+                emit_lp = nlp[:, None]
                 n_emit = [1 if a else 0 for a in active_list]
             self.steps += 1
             if not self.spec:
@@ -1344,11 +1356,12 @@ class ServeEngine:
                     self._dispatched[i] += n
             try:  # start the device->host copy now; read it sync_lag later
                 emit.copy_to_host_async()
+                emit_lp.copy_to_host_async()
                 if hasattr(n_emit, "copy_to_host_async"):
                     n_emit.copy_to_host_async()
             except AttributeError:  # backend without async copies
                 pass
-            self._inflight.append((emit, n_emit, list(self.slots)))
+            self._inflight.append((emit, emit_lp, n_emit, list(self.slots)))
         # with DISPATCHING slots, keep up to sync_lag reads outstanding;
         # once nothing dispatched this step (pool idle, or every occupied
         # slot budget-clamped awaiting its drain), drain everything
@@ -1362,16 +1375,17 @@ class ServeEngine:
         """Read back the oldest outstanding step's tokens and bookkeep
         against the slot occupancy AT DISPATCH TIME (a finished request's
         trailing speculative tokens are discarded)."""
-        emit, n_emit, snapshot = self._inflight.popleft()
+        emit, emit_lp, n_emit, snapshot = self._inflight.popleft()
         toks = jax.device_get(emit)           # (B, 1|gamma+1) or blocked
+        lps = jax.device_get(emit_lp)
         counts = (n_emit if isinstance(n_emit, list)
                   else jax.device_get(n_emit))
         if getattr(toks, "ndim", 2) == 3:     # blocked spec: (K, B, g+1)
-            rounds = [(toks[k], [int(n) for n in counts[k]])
+            rounds = [(toks[k], lps[k], [int(n) for n in counts[k]])
                       for k in range(toks.shape[0])]
         else:
-            rounds = [(toks, [int(n) for n in counts])]
-        for rtoks, rcounts in rounds:
+            rounds = [(toks, lps, [int(n) for n in counts])]
+        for rtoks, rlps, rcounts in rounds:
             for slot, req in enumerate(snapshot):
                 if req is None or req.done:
                     continue
@@ -1381,6 +1395,7 @@ class ServeEngine:
                         break  # sync-lag overrun past budget/EOS
                     tok = int(rtoks[slot, j])
                     req.tokens.append(tok)
+                    req.logprobs.append(float(rlps[slot, j]))
                     self.emitted_total += 1
                     committed += 1
                     self._finish_if_needed(slot, req, tok)

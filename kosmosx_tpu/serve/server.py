@@ -187,8 +187,11 @@ class ServeServer:
             req = t.request
             new = req.tokens[t.sent:]
             if new:
+                start = t.sent
                 t.sent = len(req.tokens)
                 item = {"tokens": list(new)}
+                if t.payload.get("logprobs"):
+                    item["logprobs"] = list(req.logprobs[start:t.sent])
                 if self.tokenizer is not None:
                     # Incremental detokenization. Deliberately re-decodes the
                     # full prefix each flush (decode of a token SUFFIX is not
@@ -337,6 +340,8 @@ class ServeServer:
         req = ticket.request
         out = {"id": req.id, "tokens": list(req.tokens),
                "num_tokens": len(req.tokens)}
+        if ticket.payload.get("logprobs"):
+            out["logprobs"] = list(req.logprobs)
         if self.tokenizer is not None:
             try:
                 out["text"] = self.tokenizer.decode(req.tokens)

@@ -752,3 +752,40 @@ def test_per_request_top_k_and_top_p(params):
         eng.submit(prompts[0], top_p=0.0)
     with pytest.raises(ValueError, match="top_k"):
         eng.submit(prompts[0], top_k=-1)
+
+
+def test_token_logprobs_match_full_forward(params, draft_params):
+    """Every emitted token carries its raw-model log-prob; values must match
+    an independent full-forward log-softmax at that position, and agree
+    across plain / blocked / speculative engines (same greedy tokens)."""
+    p = _prompts(1, key=55)[0]
+    new = 6
+
+    def run(block=0, spec=0):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_batch=2, max_prompt_len=16, max_len=64,
+                        decode_block=block, spec_gamma=spec),
+            SamplingConfig(greedy=True),
+            draft_params=draft_params if spec else None,
+            draft_cfg=DRAFT_CFG if spec else None)
+        h = eng.submit(p, max_new_tokens=new)
+        eng.run()
+        return h
+
+    h = run()
+    assert len(h.logprobs) == len(h.tokens) == new
+    full = jnp.asarray([p + h.tokens], jnp.int32)
+    logits = dec.decoder_forward(params, full, CFG).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    for i, tok in enumerate(h.tokens):
+        pos = len(p) + i - 1  # logits at pos predict token at pos+1
+        want = float(logp[0, pos, tok])
+        assert abs(h.logprobs[i] - want) < 0.05, (i, h.logprobs[i], want)
+
+    for kwargs in ({"block": 3}, {"spec": 2}):
+        h2 = run(**kwargs)
+        assert h2.tokens == h.tokens
+        assert len(h2.logprobs) == len(h2.tokens)
+        assert all(abs(a - b) < 0.05
+                   for a, b in zip(h2.logprobs, h.logprobs)), kwargs
