@@ -342,7 +342,8 @@ def _decode_block_jit(params, last_tokens, caches, index, active, rng,
     """``block`` decode steps for every slot in ONE dispatch (lax.scan over
     the single-step core, token feedback on device). Amortizes the per-step
     dispatch/link overhead — on the remote chip one dispatch costs ~3 ms on
-    top of a ~7-10 ms flagship decode step. Returns (B, block) tokens."""
+    top of a ~7-10 ms flagship decode step. Returns (B, block) tokens and
+    their (B, block) log-probs."""
     def body(carry, k):
         last, caches, index = carry
         nxt, lp, caches, index = _decode_core(
@@ -401,8 +402,8 @@ def _spec_block_pool_jit(params, dparams, last_tokens, caches, dcaches,
     """``block`` speculative rounds per dispatch (lax.scan over the round
     core) — the spec analog of ``_decode_block_jit``: the spec engine is
     host-pipeline-bound at small sync_lag, so amortizing the dispatch +
-    drain cadence raises throughput. Returns emits (block, B, gamma+1) and
-    n_emits (block, B)."""
+    drain cadence raises throughput. Returns emits (block, B, gamma+1),
+    their log-probs, and n_emits (block, B)."""
     def body(carry, k):
         last, caches, dcaches, index, index_d = carry
         emit, emit_lp, n_emit, last, caches, dcaches, index, index_d = \
@@ -1148,13 +1149,14 @@ class ServeEngine:
                                                  slot)
             self.index_d = self.index_d.at[slot].set(len(praw))
         self.index = self.index.at[slot].set(idx[0])
-        self._commit_first_token(slot, req, int(first[0]), float(flp[0]))
+        tok_h, lp_h = jax.device_get((first, flp))  # ONE host round-trip
+        self._commit_first_token(slot, req, int(tok_h[0]), float(lp_h[0]))
 
-    def _suffix_prefill(self, slot: int, suffix) -> int:
+    def _suffix_prefill(self, slot: int, suffix):
         """Prefill ``suffix`` tokens for ONE slot through the pooled chunk
         program (target + draft pools), starting at the slot's current
-        index; returns the sampled boundary token. Other slots' rows carry
-        zero valid tokens and their index is untouched."""
+        index; returns (sampled boundary token, its log-prob). Other slots'
+        rows carry zero valid tokens and their index is untouched."""
         import numpy as np
 
         b, p = self.scfg.max_batch, self.scfg.max_prompt_len
@@ -1178,7 +1180,8 @@ class ServeEngine:
                 self.draft_caches, self.index_d, jnp.asarray(mask),
                 jnp.asarray(boundary), jax.random.PRNGKey(0),
                 self.draft_cfg, self.sampling, shared=self._shared_d())
-        return int(first[slot]), float(flp[slot])
+        tok_h, lp_h = jax.device_get((first, flp))  # ONE host round-trip
+        return int(tok_h[slot]), float(lp_h[slot])
 
     def _commit_first_token(self, slot: int, req: Request, tok: int,
                             lp: float):
@@ -1251,8 +1254,7 @@ class ServeEngine:
             double_scale=self.double_scale, shared=self._shared(),
             rows=self._rows())
         if completing:
-            toks = jax.device_get(first)
-            lps = jax.device_get(flp)
+            toks, lps = jax.device_get((first, flp))  # ONE round-trip
             for slot in completing:
                 req = self.slots[slot]
                 tok = int(toks[slot])
@@ -1376,8 +1378,8 @@ class ServeEngine:
         against the slot occupancy AT DISPATCH TIME (a finished request's
         trailing speculative tokens are discarded)."""
         emit, emit_lp, n_emit, snapshot = self._inflight.popleft()
-        toks = jax.device_get(emit)           # (B, 1|gamma+1) or blocked
-        lps = jax.device_get(emit_lp)
+        # one batched transfer: tokens + logprobs (+ spec counts)
+        toks, lps = jax.device_get((emit, emit_lp))
         counts = (n_emit if isinstance(n_emit, list)
                   else jax.device_get(n_emit))
         if getattr(toks, "ndim", 2) == 3:     # blocked spec: (K, B, g+1)

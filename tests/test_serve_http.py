@@ -245,3 +245,29 @@ def test_streaming_text_deltas(params):
         assert deltas == final["text"]
     finally:
         srv.stop()
+
+
+def test_logprobs_over_http(server, params):
+    """'logprobs': true returns per-token log-probs in blocking responses
+    and streams them aligned with their token chunks."""
+    p = _prompt(5)
+    code, body = _post(server, {"prompt": p, "max_tokens": 5,
+                                "logprobs": True})
+    assert code == 200
+    assert len(body["logprobs"]) == len(body["tokens"]) == 5
+    assert all(lp <= 0.0 for lp in body["logprobs"])
+
+    code, lines = _post(server, {"prompt": p, "max_tokens": 5,
+                                 "stream": True, "logprobs": True},
+                        stream=True)
+    assert code == 200
+    toks = [t for l in lines if not l.get("done")
+            for t in l.get("tokens", [])]
+    lps = [x for l in lines if not l.get("done")
+           for x in l.get("logprobs", [])]
+    final = lines[-1]
+    assert toks == final["tokens"] == body["tokens"]
+    assert lps == final["logprobs"] == body["logprobs"]
+    # requests WITHOUT the flag stay lean
+    code, body2 = _post(server, {"prompt": p, "max_tokens": 3})
+    assert "logprobs" not in body2
