@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="weight-only int8 (decode is weight-read-bound)")
     p.add_argument("--kv8", action="store_true",
                    help="int8 KV cache (long-context/large-batch lever)")
+    p.add_argument("--kv-window", type=int, default=0,
+                   help="rolling KV window (StreamingLLM sinks + ring): "
+                        "slot caches hold kv-window positions however long "
+                        "generations run; plain engine only")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--http", type=int, default=None, metavar="PORT",
                    help="serve over HTTP instead of batch prompts "
@@ -138,7 +142,8 @@ def main(argv=None):
         max_positions=args.max_positions, multiway=not args.no_multiway,
         use_flash_attention=not args.no_flash, compute_dtype=args.dtype,
         scan_layers=True, dropout=0.0, attention_dropout=0.0,
-        kv_cache_dtype="int8" if args.kv8 else None)
+        kv_cache_dtype="int8" if args.kv8 else None,
+        kv_window=args.kv_window)
 
     kcfg = None
     if args.model == "kosmos":
@@ -192,11 +197,13 @@ def main(argv=None):
             max_batch=args.slots, max_prompt_len=args.max_prompt_len,
             sync_lag=args.sync_lag, decode_block=args.decode_block,
             prefill_chunk=args.prefill_chunk,
-            max_len=(args.max_prompt_len + args.max_new_tokens
-                     + (kcfg.image_embed_len if kcfg is not None else 0)
-                     + ServeConfig(sync_lag=args.sync_lag,
-                                   decode_block=args.decode_block
-                                   ).overrun_window))
+            max_len=max(
+                args.kv_window,
+                args.max_prompt_len + args.max_new_tokens
+                + (kcfg.image_embed_len if kcfg is not None else 0)
+                + ServeConfig(sync_lag=args.sync_lag,
+                              decode_block=args.decode_block
+                              ).overrun_window))
         sampling = (SamplingConfig(greedy=True) if args.temperature <= 0
                     else SamplingConfig(greedy=False,
                                         temperature=args.temperature))
@@ -249,11 +256,13 @@ def main(argv=None):
         max_batch=args.slots, max_prompt_len=args.max_prompt_len,
         sync_lag=args.sync_lag, decode_block=args.decode_block,
         prefill_chunk=args.prefill_chunk,
-        max_len=(args.max_prompt_len + args.max_new_tokens
-                 + (kcfg.image_embed_len if kcfg is not None else 0)
-                 + ServeConfig(sync_lag=args.sync_lag,
-                               decode_block=args.decode_block
-                               ).overrun_window))
+        max_len=max(
+            args.kv_window,
+            args.max_prompt_len + args.max_new_tokens
+            + (kcfg.image_embed_len if kcfg is not None else 0)
+            + ServeConfig(sync_lag=args.sync_lag,
+                          decode_block=args.decode_block
+                          ).overrun_window))
     sampling = (SamplingConfig(greedy=True) if args.temperature <= 0
                 else SamplingConfig(greedy=False,
                                     temperature=args.temperature))
