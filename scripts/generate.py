@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--beam-size", type=int, default=0,
                    help="beam-search decoding with this many beams "
-                        "(text-only; overrides sampling flags)")
+                        "(text or kosmos; overrides sampling flags)")
     p.add_argument("--length-penalty", type=float, default=1.0)
     p.add_argument("--eos-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -130,7 +130,20 @@ def main(argv=None):
         else:
             img = np.random.RandomState(0).rand(1, 3, 224, 224).astype(np.float32)
         imgs = tok.tokenize_images(jnp.asarray(img))
-        out = generate_multimodal(params, kcfg, jnp.asarray(ids), imgs, scfg)
+        if args.beam_size > 0:
+            from kosmosx_tpu.generate import beam_search_multimodal
+
+            toks, norm, _ = beam_search_multimodal(
+                params, kcfg, jnp.asarray(ids), imgs,
+                beam_size=args.beam_size,
+                max_new_tokens=args.max_new_tokens,
+                length_penalty=args.length_penalty, eos_id=args.eos_id)
+            print(f"# best beam score {float(norm[0, 0]):.4f}",
+                  file=sys.stderr)
+            out = toks[:, 0]
+        else:
+            out = generate_multimodal(params, kcfg, jnp.asarray(ids), imgs,
+                                      scfg)
 
     ids_out = np.asarray(out)[0].tolist()
     print("generated ids:", ids_out)
