@@ -266,6 +266,11 @@ def speculative_generate(params_target, params_draft, cfg_target: MagnetoConfig,
         raise NotImplementedError(
             "speculative decoding supports greedy or temperature sampling; "
             "top-k/top-p filtering is not implemented")
+    if cfg_target.kv_window > 0 or cfg_draft.kv_window > 0:
+        raise NotImplementedError(
+            "speculative decoding over a rolling KV window is not "
+            "implemented (the multi-token verify bypasses the ring); use "
+            "generate_text for windowed generation")
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     b, lp = prompt.shape
     if prompt_lengths is None:

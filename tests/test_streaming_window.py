@@ -172,3 +172,14 @@ def test_engine_window_guards(params):
     h = eng.submit([5, 6, 7], max_new_tokens=60)
     eng.run()
     assert h.done and len(h.tokens) == 60
+
+
+def test_speculative_window_guard(params):
+    from kosmosx_tpu.generate import speculative_generate
+
+    cfg_w = dataclasses.replace(CFG, kv_window=16, kv_sink=2)
+    dcfg = dataclasses.replace(CFG, layers=1)
+    dparams = dec.init_decoder(jax.random.PRNGKey(3), dcfg)
+    with pytest.raises(NotImplementedError, match="rolling KV window"):
+        speculative_generate(params, dparams, cfg_w, dcfg,
+                             jnp.asarray([[5, 6, 7]], jnp.int32))
