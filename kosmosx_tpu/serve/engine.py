@@ -486,14 +486,15 @@ class ServeEngine:
         scfg_ = serve_cfg or ServeConfig()
         if cfg.kv_window > 0 or (draft_cfg is not None
                                  and draft_cfg.kv_window > 0):
-            # rolling-window serving: supported on the PLAIN decode path
-            # (single-token ring writes). Multi-token chunk/verify writes
-            # bypass the ring and would silently overflow the window.
-            if scfg_.prefill_chunk > 0 or scfg_.spec_gamma > 0:
+            # rolling-window serving: single-token decode writes ring;
+            # multi-token PREFILL writes are safe (prompts fit the window,
+            # enforced below, so they never wrap) — chunked prefill is
+            # therefore fine. Speculation is NOT: its multi-token verify
+            # runs at arbitrary decode indices that must wrap.
+            if scfg_.spec_gamma > 0:
                 raise NotImplementedError(
-                    "kv_window serving does not compose with chunked "
-                    "prefill or speculation (multi-token cache writes "
-                    "bypass the ring)")
+                    "kv_window serving does not compose with speculation "
+                    "(the multi-token verify bypasses the ring)")
             if draft_cfg is not None and draft_cfg.kv_window != cfg.kv_window:
                 raise ValueError("draft kv_window must match the target's")
             if cfg.kv_sink >= cfg.kv_window:

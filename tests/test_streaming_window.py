@@ -152,11 +152,15 @@ def test_engine_window_guards(params):
     cfg_w = dataclasses.replace(CFG, kv_window=16, kv_sink=2,
                                 scan_layers=True)
     params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_w)
-    with pytest.raises(NotImplementedError, match="chunked"):
+    dcfg = dataclasses.replace(cfg_w, layers=1)
+    with pytest.raises(NotImplementedError, match="speculation"):
         ServeEngine(params_s, cfg_w,
                     ServeConfig(max_batch=2, max_prompt_len=8, max_len=32,
-                                prefill_chunk=4),
-                    SamplingConfig(greedy=True))
+                                spec_gamma=2),
+                    SamplingConfig(greedy=True),
+                    draft_params=dec.init_decoder(jax.random.PRNGKey(3),
+                                                  dcfg),
+                    draft_cfg=dcfg)
     with pytest.raises(ValueError, match="max_prompt_len"):
         ServeEngine(params_s, cfg_w,
                     ServeConfig(max_batch=2, max_prompt_len=32, max_len=64),
@@ -172,6 +176,30 @@ def test_engine_window_guards(params):
     h = eng.submit([5, 6, 7], max_new_tokens=60)
     eng.run()
     assert h.done and len(h.tokens) == 60
+
+
+def test_engine_chunked_window_matches_plain(params):
+    """Chunked prefill composes with the rolling window: prompts stream in
+    chunks below the window (no wrap), decode rings — outputs equal the
+    un-chunked windowed engine, including far past the window."""
+    from kosmosx_tpu.generate import SamplingConfig
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    cfg_w = dataclasses.replace(CFG, kv_window=24, kv_sink=2,
+                                scan_layers=True)
+    params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_w)
+    prompts = [[5, 9, 2, 33, 7, 11], [4, 8, 15]]
+
+    def run(chunk):
+        eng = ServeEngine(params_s, cfg_w,
+                          ServeConfig(max_batch=2, max_prompt_len=8,
+                                      max_len=24, prefill_chunk=chunk),
+                          SamplingConfig(greedy=True))
+        hs = [eng.submit(p, max_new_tokens=40) for p in prompts]
+        eng.run()
+        return [h.tokens for h in hs]
+
+    assert run(0) == run(3)
 
 
 def test_speculative_window_guard(params):
