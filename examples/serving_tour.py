@@ -64,7 +64,7 @@ def main():
     h_sys2 = eng.submit(system + [55], max_new_tokens=8, temperature=0.0)
     h_tuned = eng.submit([60, 61, 62], max_new_tokens=8, adapter="tuned")
     h_hot = eng.submit([80, 81], max_new_tokens=8, temperature=1.5,
-                       top_k=20, top_p=0.9)
+                       top_k=20, top_p=0.9)  # per-request sampling
     for _ in range(3):
         eng.step()
 
@@ -78,6 +78,11 @@ def main():
                     ("tuned", h_tuned), ("hot", h_hot),
                     ("cancelled", h_late)]:
         print(f"{name:>9}: done={h.done} tokens={h.tokens}")
+
+    # every emitted token carries its raw-model log-prob
+    lp = ", ".join(f"{x:.2f}" for x in h_sys1.logprobs[:4])
+    print(f"  sys-1 logprobs[:4]: [{lp}]")
+    assert len(h_sys1.logprobs) == len(h_sys1.tokens)
 
     # 7. observability
     print(f"stats: steps={eng.steps} emitted={eng.emitted_total} "
