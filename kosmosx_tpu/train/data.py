@@ -408,3 +408,36 @@ def multimodal_batches(samples: Iterable[Dict[str, Any]], tokenizer, *,
                 tokenizer.tokenize_images(jnp.asarray(imgs)), np.float32)
             yield {"text_tokens": np.stack(batch_toks), "images": pixel_values}
             batch_toks, batch_imgs = [], []
+
+
+def preference_jsonl_batches(path: str, tokenizer, *, batch_size: int,
+                             length: int,
+                             epochs: Optional[int] = 1
+                             ) -> Iterator[Dict[str, np.ndarray]]:
+    """DPO preference batches from a JSONL file of
+    ``{"prompt", "chosen", "rejected"}`` text rows — tokenized and collated
+    via train/dpo.preference_batch (completion-masked weights). Attach the
+    frozen reference's log-probs afterwards with
+    ``train.dpo.compute_ref_logprobs``."""
+    import json
+
+    from kosmosx_tpu.train.dpo import preference_batch
+
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        epoch += 1
+        prompts, chosen, rejected = [], [], []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                row = json.loads(line)
+                prompts.append(_encode_doc(tokenizer, row["prompt"]))
+                chosen.append(_encode_doc(tokenizer, row["chosen"]))
+                rejected.append(_encode_doc(tokenizer, row["rejected"]))
+                if len(prompts) == batch_size:
+                    yield preference_batch(prompts, chosen, rejected,
+                                           length=length)
+                    prompts, chosen, rejected = [], [], []
+        # trailing partial batch dropped (static shapes)

@@ -62,6 +62,12 @@ class TrainConfig:
     # disjoint batches (shard_stream) contributed as local shards of the
     # global batch — the global batch is batch_size x process_count
     per_process_batches: bool = False
+    # Background host->device prefetch thread. Disable when the batch
+    # GENERATOR itself runs jitted device work (e.g. DPO reference
+    # log-probs): device dispatch from the worker thread concurrently with
+    # the main thread's collective train step can deadlock the one-core
+    # CPU backend
+    prefetch: bool = True
     output_dir: str = "checkpoints/"
     resume: bool = False
     # final consolidated params save to {output_dir}/final at end of run
@@ -337,9 +343,12 @@ class Trainer:
                 yield i, b
                 yielded += 1
 
-        from kosmosx_tpu.train.data import device_prefetch
-        stream = device_prefetch(
-            _bounded(), lambda ib: (ib[0], self.shard_batch(ib[1])))
+        if cfg.prefetch:
+            from kosmosx_tpu.train.data import device_prefetch
+            stream = device_prefetch(
+                _bounded(), lambda ib: (ib[0], self.shard_batch(ib[1])))
+        else:
+            stream = ((i, self.shard_batch(b)) for i, b in _bounded())
         eval_metrics: Dict[str, float] = {}
         for i, batch in stream:
             self.state, metrics = self._step_fn(self.state, batch)

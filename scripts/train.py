@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "training (ref train.py:416-462, e.g. openwebtext); "
                         "needs the datasets package + network/cache")
     p.add_argument("--hf-split", default="train")
+    p.add_argument("--dpo", default=None, metavar="PREFS.jsonl",
+                   help="DPO preference fine-tuning from JSONL rows "
+                        "{prompt, chosen, rejected} (train/dpo.py); the "
+                        "frozen reference = --init-checkpoint params (or "
+                        "the fresh init); --model language only")
+    p.add_argument("--dpo-beta", type=float, default=0.1)
     p.add_argument("--hf-text-key", default="text")
     p.add_argument("--distributed", action="store_true",
                    help="multi-process: jax.distributed.initialize() from "
@@ -146,6 +152,7 @@ def main(argv=None):
     from kosmosx_tpu.train.data import (hf_dataset_stream,
                                         image_caption_batches,
                                         packed_text_batches,
+                                        preference_jsonl_batches,
                                         pretokenized_batches,
                                         shard_stream,
                                         synthetic_multimodal_batches,
@@ -183,6 +190,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every, log_every=args.log_every,
         eval_every=args.eval_every,
         per_process_batches=shard is not None,
+        prefetch=not args.dpo,
         output_dir=args.output_dir, resume=args.resume,
         final_save=not args.no_final_save,
         data=args.data, fsdp=args.fsdp, tensor=args.tensor,
@@ -193,7 +201,16 @@ def main(argv=None):
 
         init_fn = lambda key: dec.init_decoder(key, dcfg)
         loss_fn = lm_loss_fn(dcfg)
-        if args.synthetic:
+        if args.dpo:
+            from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+            from kosmosx_tpu.train.dpo import dpo_loss_fn
+
+            loss_fn = dpo_loss_fn(dcfg, beta=args.dpo_beta)
+            tok = KosmosTokenizer()
+            batches = preference_jsonl_batches(
+                args.dpo, tok, batch_size=args.batch_size,
+                length=args.seq_len, epochs=None)
+        elif args.synthetic:
             batches = synthetic_text_batches(
                 batch_size=args.batch_size, seq_len=args.seq_len,
                 vocab_size=args.vocab_size, steps=args.steps)
@@ -287,6 +304,32 @@ def main(argv=None):
                            use_wandb=args.wandb,
                            config=vars(args)) if (args.metrics_jsonl or
                                                   args.wandb) else None
+    if args.dpo and args.model == "language":
+        # frozen reference = the trainer's STARTING params (checkpoint warm
+        # start or the fresh init); its log-probs attach per batch OUTSIDE
+        # the step (train/dpo.py — one cached jitted forward per config)
+        import jax
+
+        from kosmosx_tpu.train.dpo import compute_ref_logprobs
+
+        if base_params is not None:
+            ref_params = base_params
+        elif args.lora_rank > 0:
+            if trainer.state is None:
+                trainer.init_state()
+            ref_params = trainer.base_params  # frozen, never donated
+        else:
+            import jax.numpy as jnp
+
+            if trainer.state is None:
+                trainer.init_state()
+            # the donated train step invalidates state buffers every step:
+            # the frozen reference must be an independent COPY
+            ref_params = jax.tree_util.tree_map(jnp.array,
+                                                trainer.state["params"])
+        batches = (compute_ref_logprobs(ref_params, dcfg, b)
+                   for b in batches)
+
     eval_fn = None
     if args.eval_every and args.eval_pretokenized:
         import itertools
