@@ -87,9 +87,15 @@ class ModalityProcessor:
 
 
 class KosmosAny:
-    """Any-modality Kosmos: encoders are built lazily per modality on first
-    use (reference kosmos3 lazy loading), each followed by a learned
-    projection to decoder dim; all embeddings splice after BOS."""
+    """Any-modality Kosmos: encoders are materialized per modality at
+    *registration* time (``register_modality`` — the pure-function answer to
+    reference kosmos3's lazy ``load_model``), each followed by a learned
+    projection to decoder dim; all embeddings splice after BOS.
+
+    ``apply(params, text_tokens, media=...)`` is pure and jittable once every
+    modality in ``media`` has been registered; ``forward`` is the convenience
+    wrapper that auto-registers unseen modalities host-side (outside any
+    trace) and then calls ``apply`` on ``self.params``."""
 
     SPECIAL_TAGS = ("<image>", "</image>", "<audio>", "</audio>",
                     "<video>", "</video>", "<any>", "</any>")
@@ -118,9 +124,20 @@ class KosmosAny:
             from kosmosx_tpu.nn.unified import UnifiedConfig
             self.unified_config = unified_config or UnifiedConfig()
 
-    # -- lazy encoder construction (kosmos3 load_model equivalent) ----------
-    def _ensure_encoder(self, modality: str):
-        if modality in self._encoders:
+    # -- encoder construction at registration (kosmos3 load_model equivalent,
+    # but eager so apply() stays pure) ---------------------------------------
+    def register_modality(self, modality: str, *, any_dim: Optional[int] = None):
+        """Materialize the encoder + projection params for ``modality`` now.
+
+        Must be called before ``apply`` sees that modality (``forward`` does it
+        automatically). ``any_dim`` is the flattened per-sample feature size,
+        required for the generic ``"any"`` modality — its projection shape
+        depends on the input. Registering after a Trainer captured
+        ``self.params`` means the new leaves are invisible to that optimizer;
+        register everything first, then train."""
+        if modality in self._encoders and (
+                modality != "any" or any_dim is None
+                or f"any_proj_{any_dim}" in self.params):
             return
         d = self.decoder.embed_dim
         self._key, k1, k2, k3 = jax.random.split(self._key, 4)
@@ -186,44 +203,95 @@ class KosmosAny:
                                      dtype=self.decoder.dtype)
 
         else:  # "any": generic per-sample flat projection (reference <any>)
-            def encode(params, x):  # lazy-init needs the input dim
+            if any_dim is None:
+                raise ValueError(
+                    "register_modality('any') needs any_dim= (the flattened "
+                    "per-sample feature size) to shape its projection")
+            key = f"any_proj_{any_dim}"
+            if key not in self.params:
+                self._key, kk = jax.random.split(self._key)
+                self.params[key] = {"w": init.magneto_output_projection(
+                    kk, (any_dim, d))}
+
+            def encode(params, x):
                 flat = x.reshape(x.shape[0], -1)
-                key = f"any_proj_{flat.shape[-1]}"
-                if key not in self.params:
-                    self._key, kk = jax.random.split(self._key)
-                    self.params[key] = {"w": init.magneto_output_projection(
-                        kk, (flat.shape[-1], d))}
-                return layers.linear(self.params[key], flat[:, None],
+                pkey = f"any_proj_{flat.shape[-1]}"
+                if pkey not in params:
+                    raise KeyError(
+                        f"'any' input of flattened dim {flat.shape[-1]} was "
+                        f"never registered — call register_modality('any', "
+                        f"any_dim={flat.shape[-1]}) first")
+                return layers.linear(params[pkey], flat[:, None],
                                      dtype=self.decoder.dtype)
 
         self._encoders[modality] = encode
 
-    # -- forward -------------------------------------------------------------
-    def forward(self, text_tokens, media: Sequence[Tuple[str, Any]] = (),
-                rng=None):
-        """media: sequence of (modality-or-None, data) — modality inferred by
-        the detector when None. Returns logits over the spliced sequence."""
+    # -- pure forward ---------------------------------------------------------
+    def apply(self, params, text_tokens, media: Sequence[Tuple[str, Any]] = (),
+              rng=None):
+        """Pure forward: ``media`` is a sequence of (modality, processed_array)
+        with every modality already registered. Jittable (modalities and
+        shapes are static; arrays are traced) and trainable — grads flow to
+        whatever ``params`` pytree is passed in."""
         dcfg = self.decoder
-        text_tokens = jnp.asarray(text_tokens)
         blocks = []
-        for modality, data in media:
-            modality = modality or self.detector.detect(data)
-            processed = self.processor.process(
-                modality, data, image_size=self.configs["image"][0].image_size)
-            self._ensure_encoder(modality)
-            blocks.append(self._encoders[modality](self.params, processed))
+        for modality, processed in media:
+            if modality not in self._encoders:
+                raise KeyError(f"modality {modality!r} not registered — call "
+                               f"register_modality({modality!r}) first")
+            blocks.append(self._encoders[modality](params, processed))
 
-        text_emb = dec.embed_only(self.params["decoder"], dcfg, text_tokens)
+        text_emb = dec.embed_only(params["decoder"], dcfg, text_tokens)
         if blocks:
             mediacat = jnp.concatenate(blocks, axis=1).astype(text_emb.dtype)
             spliced = jnp.concatenate(
                 [text_emb[:, :1], mediacat, text_emb[:, 1:]], axis=1)
         else:
             spliced = text_emb
-        x, _ = dec.forward_embedding(self.params["decoder"], dcfg,
-                                     token_embedding=spliced, rng=rng)
-        h, _ = dec.run_layers(self.params["decoder"], x, dcfg, rng=rng)
-        return dec.output_logits(self.params["decoder"], h, dcfg)
+        # Split the dropout key (embedding vs layers must decorrelate).
+        rngs = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
+        x, _ = dec.forward_embedding(params["decoder"], dcfg,
+                                     token_embedding=spliced, rng=rngs[0])
+        h, _ = dec.run_layers(params["decoder"], x, dcfg, rng=rngs[1])
+        return dec.output_logits(params["decoder"], h, dcfg)
+
+    def prepare_media(self, media: Sequence[Tuple[str, Any]]):
+        """Host-side step: detect + preprocess each item (concurrently, the
+        reference kosmos3's ThreadPoolExecutor :327-357) and register its
+        encoder (mutates ``self.params`` with any new towers — do this BEFORE
+        jitting ``apply`` or capturing the pytree in a Trainer). Returns the
+        (modality, processed) list ``apply`` consumes."""
+        media = list(media)
+
+        def _process(item):
+            modality, data = item
+            modality = modality or self.detector.detect(data)
+            processed = self.processor.process(
+                modality, data, image_size=self.configs["image"][0].image_size)
+            return modality, processed
+
+        if len(media) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(media))) as pool:
+                prepared = list(pool.map(_process, media))
+        else:
+            prepared = [_process(item) for item in media]
+        # Registration mutates self.params — keep it serial and ordered.
+        for modality, processed in prepared:
+            any_dim = None
+            if modality not in ("image", "audio", "video"):
+                any_dim = int(np.prod(processed.shape[1:]))
+            self.register_modality(modality, any_dim=any_dim)
+        return prepared
+
+    def forward(self, text_tokens, media: Sequence[Tuple[str, Any]] = (),
+                rng=None):
+        """media: sequence of (modality-or-None, data) — modality inferred by
+        the detector when None. Registers unseen modalities host-side, then
+        runs the pure ``apply``. Returns logits over the spliced sequence."""
+        prepared = self.prepare_media(media)
+        return self.apply(self.params, jnp.asarray(text_tokens),
+                          media=prepared, rng=rng)
 
     __call__ = forward
 

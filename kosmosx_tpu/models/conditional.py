@@ -122,8 +122,11 @@ class KosmosConditional:
             media = None
             spliced = text_emb
 
+        # Split the dropout key: embedding dropout and layer dropout must be
+        # decorrelated (matches Kosmos.apply; reusing one key correlates masks).
+        rngs = list(jax.random.split(rng, 2)) if rng is not None else [None, None]
         x, _ = dec.forward_embedding(params["decoder"], dcfg,
-                                     token_embedding=spliced, rng=rng)
+                                     token_embedding=spliced, rng=rngs[0])
         segment_ids = None
         if use_padding_mask:
             b = text_tokens.shape[0]
@@ -134,7 +137,7 @@ class KosmosConditional:
                 axis=1)
             segment_ids = jnp.where(valid, 0, -1).astype(jnp.int32)
         h, _ = dec.run_layers(params["decoder"], x, dcfg,
-                              segment_ids=segment_ids, rng=rng)
+                              segment_ids=segment_ids, rng=rngs[1])
         return dec.output_logits(params["decoder"], h, dcfg)
 
     def __call__(self, text_tokens, **kw):

@@ -26,23 +26,28 @@ from kosmosx_tpu.core.config import AudioConfig
 from kosmosx_tpu.nn import layers
 
 
-def init_audio_encoder(key, cfg: AudioConfig) -> Dict[str, Any]:
-    keys = jax.random.split(key, 4 + cfg.layers)
-    convs = []
-    in_ch = 1
-    # framed-matmul "convs": each stage folds `stride` samples into channels
+def frame_strides(cfg: AudioConfig):
+    """Static per-stage framing strides (config, NOT params — an int leaf in
+    the param pytree would turn into a tracer under jit and break the static
+    reshape in `audio_encoder`)."""
     strides = (8, 4, 2)
     if len(cfg.conv_widths) > len(strides):
         raise ValueError(
             f"conv_widths has {len(cfg.conv_widths)} stages but only "
             f"{len(strides)} framing strides are defined; extra stages "
             f"would be silently dropped")
-    strides = strides[:len(cfg.conv_widths)]
-    for i, (width, stride) in enumerate(zip(cfg.conv_widths, strides)):
+    return strides[:len(cfg.conv_widths)]
+
+
+def init_audio_encoder(key, cfg: AudioConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, 4 + cfg.layers)
+    convs = []
+    in_ch = 1
+    for i, (width, stride) in enumerate(zip(cfg.conv_widths,
+                                            frame_strides(cfg))):
         convs.append({
             "w": init.xavier_uniform(keys[i], (in_ch * stride, width)),
             "b": init.zeros((width,)),
-            "stride": stride,
         })
         in_ch = width
     d = cfg.hidden_dim
@@ -73,8 +78,7 @@ def audio_encoder(params, waveform, cfg: AudioConfig) -> jax.Array:
     """waveform (B, T) float -> (B, T', hidden_dim)."""
     dtype = cfg.dtype
     x = waveform.astype(dtype)[..., None]  # (B, T, 1)
-    for conv in params["convs"]:
-        stride = conv["stride"]
+    for conv, stride in zip(params["convs"], frame_strides(cfg)):
         b, t, c = x.shape
         t = (t // stride) * stride
         x = x[:, :t].reshape(b, t // stride, c * stride)

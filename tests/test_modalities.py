@@ -104,6 +104,71 @@ def test_kosmos_any_lazy_encoders():
     assert "audio_enc" in m.params
 
 
+def test_kosmos_any_pure_apply_jits_and_trains():
+    """Regression (VERDICT r2 weak #6): KosmosAny.apply must be pure —
+    encoders materialize at registration, forward never mutates params —
+    so it jits and gradients flow to every tower."""
+    m = KosmosAny(decoder=DEC, seed=0)
+    m.configs["image"] = (VIS, RES)
+    m.configs["audio"] = AUD
+    toks = jnp.ones((1, 8), jnp.int32)
+    prepared = m.prepare_media(
+        [(None, np.zeros((1, 3, 28, 28), np.float32)),
+         ("audio", np.zeros((1, 512), np.float32)),
+         ("any", np.ones((1, 5, 7), np.float32))])
+    params_before = jax.tree_util.tree_structure(m.params)
+
+    # params AND rng as jit arguments (regression: an int stride leaf in the
+    # audio params became a tracer and broke the static framing reshape)
+    jitted = jax.jit(lambda p, t, r: m.apply(p, t, media=prepared, rng=r))
+    out = jitted(m.params, toks, jax.random.PRNGKey(3))
+    assert out.shape == (1, 8 + 4 + 1 + 1, 512)
+    # forward did not create params mid-trace
+    assert jax.tree_util.tree_structure(m.params) == params_before
+
+    def loss(p):
+        return jnp.mean(m.apply(p, toks, media=prepared) ** 2)
+
+    grads = jax.grad(loss)(m.params)
+    g_img = grads["image_proj"]["w"]
+    g_any = grads["any_proj_35"]["w"]
+    assert float(jnp.abs(g_img).max()) > 0
+    assert float(jnp.abs(g_any).max()) > 0
+    # unregistered modality raises instead of silently materializing
+    with pytest.raises(KeyError):
+        m.apply(m.params, toks, media=[("video", np.zeros((1, 3, 4, 32, 32)))])
+
+
+def test_conditional_dropout_rng_decorrelated():
+    """Regression (VERDICT r2 weak #5): embedding dropout and layer dropout
+    must use distinct keys (one shared key correlates masks)."""
+    cfg = MagnetoConfig(vocab_size=512, embed_dim=64, ffn_dim=128, layers=2,
+                        heads=4, max_positions=256, use_flash_attention=False,
+                        multiway=False, dropout=0.5, attention_dropout=0.0)
+    m = KosmosConditional(modalities=("text",), decoder=cfg, seed=0)
+    toks = jnp.ones((1, 16), jnp.int32)
+    from kosmosx_tpu.nn import decoder as dec
+    seen = []
+    orig_fe, orig_rl = dec.forward_embedding, dec.run_layers
+
+    def spy_fe(*a, rng=None, **kw):
+        seen.append(("embed", None if rng is None else tuple(np.asarray(rng))))
+        return orig_fe(*a, rng=rng, **kw)
+
+    def spy_rl(*a, rng=None, **kw):
+        seen.append(("layers", None if rng is None else tuple(np.asarray(rng))))
+        return orig_rl(*a, rng=rng, **kw)
+
+    dec.forward_embedding, dec.run_layers = spy_fe, spy_rl
+    try:
+        m(toks, rng=jax.random.PRNGKey(7))
+    finally:
+        dec.forward_embedding, dec.run_layers = orig_fe, orig_rl
+    keys = dict(seen)
+    assert keys["embed"] is not None and keys["layers"] is not None
+    assert keys["embed"] != keys["layers"]
+
+
 def test_tokenizer_multimodal_tags():
     tok = KosmosTokenizer(use_hf=False,
                           modalities=("image", "audio", "video", "any"))
