@@ -215,6 +215,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                    shared_on: Optional[jax.Array] = None,
                    pos_offset: Optional[jax.Array] = None,
                    kv_window: int = 0, kv_sink: int = 4,
+                   xpos_center: Optional[jax.Array] = None,
                    dtype=None,
                    interpret: bool = False,
                    sequence_axis: Optional[str] = None,
@@ -337,12 +338,16 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
             idx = jnp.broadcast_to(idx, (b,))
         if xpos:
             # offset = ABSOLUTE position of the new tokens (cache index plus
-            # any shared-prefix shift); fixed center=0 across steps
+            # any shared-prefix shift); center is fixed at 0 across steps
+            # unless the caller slides it (``xpos_center``, rolling-window
+            # generation — cached keys must have been rescaled to the same
+            # center via xpos.recenter_scale, see nn/decoder.recenter_caches)
+            center = 0 if xpos_center is None else xpos_center
             rot = idx if pos_offset is None else idx + pos_offset
             q = apply_xpos(q, offset=rot, scale_base=xpos_scale_base,
-                           downscale=False, center=0)
+                           downscale=False, center=center)
             k = apply_xpos(k, offset=rot, scale_base=xpos_scale_base,
-                           downscale=True, center=0)
+                           downscale=True, center=center)
         # zero out invalid (padded) chunk positions before the additive
         # scatter — cache slots must stay exactly-once-written
         if segment_ids is not None:

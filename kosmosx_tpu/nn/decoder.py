@@ -146,6 +146,7 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
                   shared_kv: Optional[Dict[str, jax.Array]] = None,
                   shared_on: Optional[jax.Array] = None,
                   pos_offset: Optional[jax.Array] = None,
+                  xpos_center: Optional[jax.Array] = None,
                   interpret: bool = False):
     dtype = cfg.dtype
     rngs = list(jax.random.split(rng, 3)) if rng is not None else [None, None, None]
@@ -162,6 +163,7 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         rng=rngs[0], cache=cache, cache_index=cache_index,
         prefill=prefill, shared_kv=shared_kv, shared_on=shared_on,
         pos_offset=pos_offset, kv_window=cfg.kv_window, kv_sink=cfg.kv_sink,
+        xpos_center=xpos_center,
         dtype=dtype, interpret=interpret,
         sequence_axis=cfg.sequence_axis,
         sequence_schedule=cfg.sequence_schedule)
@@ -312,6 +314,7 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                shared_caches: Optional[Any] = None,
                shared_on: Optional[jax.Array] = None,
                pos_offset: Optional[jax.Array] = None,
+               xpos_center: Optional[jax.Array] = None,
                interpret: bool = False,
                with_aux: bool = False):
     """Run the layer stack + final LN. Returns (hidden, new_caches), or
@@ -328,7 +331,7 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
                              rng=lrng, cache=lcache, cache_index=cache_index,
                              prefill=prefill, shared_kv=lshared,
                              shared_on=shared_on, pos_offset=pos_offset,
-                             interpret=interpret)
+                             xpos_center=xpos_center, interpret=interpret)
 
     if cfg.remat:
         policies = {
@@ -478,3 +481,38 @@ def init_cache(cfg: MagnetoConfig, batch: int, max_len: int, dtype=None):
         stacked = (cfg.layers,) + shape
         return {"k": jnp.zeros(stacked, dtype), "v": jnp.zeros(stacked, dtype)}
     return [one() for _ in range(cfg.layers)]
+
+
+def recenter_caches(caches, delta, cfg: MagnetoConfig):
+    """Slide the xPos decay center of every cached KEY forward by ``delta``
+    (scalar or (B,)) positions: multiplies stored keys by
+    ``zeta**(delta/scale_base)`` per dim (nn/xpos.recenter_scale), after which
+    queries/keys must be rotated with ``xpos_center = old_center + delta``.
+
+    This is what makes rolling-window (``kv_window``) generation truly
+    unbounded: with a fixed center 0 the per-dim decay ``zeta**(pos/sb)``
+    over/underflows past ``xpos_position_bound()`` (~36k at scale_base 512);
+    re-centering every few thousand steps keeps both query upscales and cached
+    key downscales in a bounded range forever. The q·k product is unchanged in
+    exact arithmetic (the center cancels); in bf16 each re-center costs one
+    rounding of the cached keys, and for int8 KV caches one re-quantization
+    (absmax/127 noise) — both negligible at the default interval.
+
+    Values ("v") carry no xPos and are untouched."""
+    from kosmosx_tpu.nn.xpos import recenter_scale
+
+    factor = recenter_scale(cfg.head_dim, delta, cfg.xpos_scale_base)
+
+    def rescale(cache):
+        if "k_scale" in cache:  # int8 KV: dequant -> rescale -> requant
+            from kosmosx_tpu.nn.attention import _quantize_kv
+            k = cache["k"].astype(jnp.float32) * cache["k_scale"]
+            kq, ks = _quantize_kv(k * factor)
+            return {**cache, "k": kq, "k_scale": ks}
+        return {**cache, "k": (cache["k"].astype(jnp.float32)
+                               * factor).astype(cache["k"].dtype)}
+
+    if isinstance(caches, list):
+        return [rescale(c) for c in caches]
+    # stacked (layers, B, H, L, hd): factor broadcasts from the right
+    return rescale(caches)

@@ -78,6 +78,26 @@ def xpos_position_bound(scale_base: int = 512) -> int:
     return int(scale_base * 127.0 / math.log2(1.0 / zeta0))
 
 
+def recenter_scale(head_dim: int, delta, scale_base: int = 512,
+                   dtype=jnp.float32):
+    """Per-dim multiplier that moves a cached key's xPos decay center forward
+    by ``delta`` positions: a key stored as ``k * zeta**(-(j - c)/sb)``
+    becomes valid for center ``c + delta`` after multiplying by
+    ``zeta**(delta/sb)`` (the query side then uses ``center=c+delta``, so the
+    q·k product still carries exactly ``zeta**((i-j)/sb)``).
+
+    ``delta`` may be scalar or (B,); returns (head_dim,) or (B, 1, 1,
+    head_dim) ready to broadcast against a (B, H, L, head_dim) cache."""
+    delta = jnp.asarray(delta, jnp.float32)
+    zeta = (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+            + 0.4 * head_dim) / (1.4 * head_dim)
+    factor = _duplicate_interleave(
+        zeta ** (delta[..., None] / float(scale_base)))
+    if delta.ndim == 1:
+        factor = factor[:, None, None, :]
+    return factor.astype(dtype)
+
+
 def apply_xpos(x, *, offset=0, scale_base: int = 512, downscale: bool = False,
                center=None):
     """Apply xPos rotation + scaling to ``x`` of shape (..., L, head_dim).

