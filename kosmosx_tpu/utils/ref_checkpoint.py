@@ -246,8 +246,16 @@ def _ffn_out(out, prefix, p):
 
 def state_dict_from_decoder_params(params: Dict[str, Any],
                                    prefix: str = "decoder.",
+                                   aliases: bool = True,
                                    ) -> Dict[str, np.ndarray]:
-    """``init_decoder`` pytree -> torchscale-layout flat dict (numpy)."""
+    """``init_decoder`` pytree -> torchscale-layout flat dict (numpy).
+
+    ``aliases=True`` also emits the decoder-registered copies
+    (``decoder.embed_tokens.weight`` / ``decoder.embed_positions.weight`` /
+    ``decoder.output_projection.weight``): the reference's consolidated save
+    contains BOTH names because the shared modules are registered twice
+    (/root/reference/kosmosx/model.py:161-167,186-191), so a strict
+    torchscale ``load_state_dict`` needs them present."""
     layer_list = params["layers"]
     if isinstance(layer_list, dict):  # stacked scan layout
         layer_list = unstack_layers(layer_list)
@@ -269,6 +277,12 @@ def state_dict_from_decoder_params(params: Dict[str, Any],
         out["embed.weight"] = _np(params["embed"]["table"])
         out["embed_positions.weight"] = _np(params["pos"]["table"])
         out["output_projection.weight"] = _np(params["out_proj"]["w"]).T
+        if aliases:
+            out[f"{prefix}embed_tokens.weight"] = out["embed.weight"]
+            out[f"{prefix}embed_positions.weight"] = \
+                out["embed_positions.weight"]
+            out[f"{prefix}output_projection.weight"] = \
+                out["output_projection.weight"]
     return out
 
 

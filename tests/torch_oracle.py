@@ -112,20 +112,7 @@ def _ffn(p, x, activation="gelu"):
     return _linear(p["fc2"], h)
 
 
-def decoder_forward_oracle(params, tokens, cfg):
-    """Mirror of kosmosx_tpu.nn.decoder.decoder_forward at fp32, eval mode.
-
-    params: init_decoder pytree converted to numpy (scan_layers=False layout:
-    params["layers"] is a list). tokens: (B, L) numpy int. Returns numpy
-    logits (B, L, vocab).
-    """
-    tokens = torch.from_numpy(np.array(tokens)).long()
-    emb = _t(params["embed"]["table"])[tokens]               # (B, L, D)
-    x = cfg.embed_scale * emb
-    l = tokens.shape[1]
-    positions = cfg.padding_idx + 1 + torch.arange(l)
-    x = x + _t(params["pos"]["table"])[positions][None]
-
+def _run_stack(params, x, cfg):
     for lp in params["layers"]:
         residual = x
         h = _layer_norm(lp["attn_ln"], x)
@@ -139,5 +126,37 @@ def decoder_forward_oracle(params, tokens, cfg):
         x = residual + h
 
     x = _layer_norm(params["ln"], x)
-    logits = x @ _t(params["out_proj"]["w"])
-    return logits.numpy()
+    return (x @ _t(params["out_proj"]["w"])).numpy()
+
+
+def decoder_forward_oracle(params, tokens, cfg):
+    """Mirror of kosmosx_tpu.nn.decoder.decoder_forward at fp32, eval mode.
+
+    params: init_decoder pytree converted to numpy (scan_layers=False layout:
+    params["layers"] is a list). tokens: (B, L) numpy int. Returns numpy
+    logits (B, L, vocab).
+    """
+    tokens = torch.from_numpy(np.array(tokens)).long()
+    emb = _t(params["embed"]["table"])[tokens]               # (B, L, D)
+    x = cfg.embed_scale * emb
+    l = tokens.shape[1]
+    positions = cfg.padding_idx + 1 + torch.arange(l)
+    x = x + _t(params["pos"]["table"])[positions][None]
+    return _run_stack(params, x, cfg)
+
+
+def spliced_forward_oracle(params, spliced, cfg, *, double_scale=True):
+    """The Kosmos splice path at decoder level: ``spliced`` (B, L, D) is the
+    position-free scaled-text+image-block sequence (the reference's
+    ``model_input`` after the cat at /root/reference/kosmosx/model.py:239-241);
+    the RE-EMBED step multiplies by embed_scale AGAIN (the §2.6.1 double-scale
+    quirk, ``double_scale=True``) and adds learned positions, then runs the
+    stack. Mirrors kosmosx_tpu.models.kosmos.Kosmos.apply with
+    parity_double_scale."""
+    x = _t(spliced)
+    if double_scale:
+        x = cfg.embed_scale * x
+    l = x.shape[1]
+    positions = cfg.padding_idx + 1 + torch.arange(l)
+    x = x + _t(params["pos"]["table"])[positions][None]
+    return _run_stack(params, x, cfg)
