@@ -235,16 +235,60 @@ class KosmosConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    """Faithful wav2vec2 / data2vec-audio encoder shape (HF
+    ``Wav2Vec2Model`` / ``Data2VecAudioModel`` semantics — the towers the
+    reference's video variant wires pretrained at
+    /root/reference/experimental/model/video/kosmos_video.py:126-128).
+    Weight-parity target for utils/hf_convert converters."""
+
+    hidden_dim: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    # "group": GroupNorm(groups=channels) after conv 0 only (wav2vec2-base);
+    # "layer": per-layer LayerNorm over channels (data2vec / wav2vec2-large)
+    feat_norm: str = "group"
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    # "wav2vec2": ONE weight-normed grouped conv (folded at conversion);
+    # "data2vec": pos_convs stacked grouped convs each followed by an
+    # affine-less LayerNorm + gelu
+    pos_conv_mode: str = "wav2vec2"
+    pos_convs: int = 5
+    # False: post-LN encoder layers (wav2vec2-base / data2vec-audio);
+    # True: pre-LN ("stable layer norm", wav2vec2-large)
+    stable_layer_norm: bool = False
+    layer_norm_eps: float = 1e-5
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return resolve_dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
 class AudioConfig:
-    """Lightweight conv/transformer audio encoder config (capability parity
-    with the experimental wav2vec2/data2vec towers,
-    /root/reference/experimental/model/allModalities/audio/kosmos_audio.py)."""
+    """Audio encoder config.
+
+    ``arch="framed"``: the lightweight TPU-first framed-matmul conv +
+    transformer encoder (capability parity with the experimental towers,
+    /root/reference/experimental/model/allModalities/audio/kosmos_audio.py).
+    ``arch="wav2vec2"``: the faithful HF-architecture encoder (``w2v``
+    shape) — loadable from real wav2vec2/data2vec checkpoints via
+    utils/hf_convert."""
 
     hidden_dim: int = 768
     layers: int = 4
     heads: int = 12
     mlp_dim: int = 3072
     conv_widths: Tuple[int, ...] = (512, 512, 512)
+    arch: str = "framed"
+    w2v: Wav2Vec2Config = Wav2Vec2Config()
     compute_dtype: str = "float32"
 
     @property
@@ -255,10 +299,16 @@ class AudioConfig:
 @dataclasses.dataclass(frozen=True)
 class VideoConfig:
     """3D-conv video encoder config (capability parity with torchvision r3d_18
-    at /root/reference/experimental/model/video/kosmos_video.py:131-134)."""
+    at /root/reference/experimental/model/video/kosmos_video.py:131-134).
+
+    ``arch="lean"``: the TPU-first LayerNorm resnet (interface parity).
+    ``arch="r3d18"``: the faithful torchvision r3d_18 topology (BatchNorms
+    folded into convs at conversion) — loadable from real checkpoints via
+    utils/hf_convert; requires ``hidden_dim=512``."""
 
     hidden_dim: int = 512
     frame_size: int = 112
+    arch: str = "lean"
     compute_dtype: str = "float32"
 
     @property

@@ -40,6 +40,15 @@ def frame_strides(cfg: AudioConfig):
 
 
 def init_audio_encoder(key, cfg: AudioConfig) -> Dict[str, Any]:
+    if cfg.arch == "wav2vec2":
+        from kosmosx_tpu.nn.wav2vec2 import init_wav2vec2
+        if cfg.hidden_dim != cfg.w2v.hidden_dim:
+            raise ValueError(
+                f"arch='wav2vec2': AudioConfig.hidden_dim "
+                f"({cfg.hidden_dim}) must equal w2v.hidden_dim "
+                f"({cfg.w2v.hidden_dim}) — the composition layer projects "
+                f"from hidden_dim")
+        return init_wav2vec2(key, cfg.w2v)
     keys = jax.random.split(key, 4 + cfg.layers)
     convs = []
     in_ch = 1
@@ -76,6 +85,9 @@ def init_audio_encoder(key, cfg: AudioConfig) -> Dict[str, Any]:
 
 def audio_encoder(params, waveform, cfg: AudioConfig) -> jax.Array:
     """waveform (B, T) float -> (B, T', hidden_dim)."""
+    if cfg.arch == "wav2vec2":
+        from kosmosx_tpu.nn.wav2vec2 import wav2vec2_encode
+        return wav2vec2_encode(params, waveform, cfg.w2v)
     dtype = cfg.dtype
     x = waveform.astype(dtype)[..., None]  # (B, T, 1)
     for conv, stride in zip(params["convs"], frame_strides(cfg)):
