@@ -55,6 +55,12 @@ def main(argv=None):
                          "every request's prompt starts with it, so "
                          "admission prefills only prompt_len - prefix_len "
                          "tokens (ServeEngine.register_prefix)")
+    ap.add_argument("--adapter-rank", type=int, default=0,
+                    help="multi-LoRA serving overhead: load a rank-R ZERO "
+                         "adapter and submit every request through it — "
+                         "outputs match the base model, so this isolates "
+                         "the per-slot factor-stack einsum cost vs the "
+                         "plain row (expect ~neutral)")
     ap.add_argument("--kv-window", type=int, default=0,
                     help="rolling KV window (StreamingLLM sinks + ring): "
                          "slot caches hold kv_window positions however "
@@ -67,6 +73,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.prefix_len >= args.prompt_len:
         raise SystemExit("--prefix-len must be < --prompt-len")
+    if args.adapter_rank and (args.multimodal or args.prefix_len):
+        raise SystemExit("--adapter-rank is text-only and skips prefix "
+                         "caches (serve/config.py matrix)")
 
     from kosmosx_tpu.utils.platform import honor_jax_platforms
     honor_jax_platforms()  # JAX_PLATFORMS=cpu works for local smoke runs
@@ -135,6 +144,21 @@ def main(argv=None):
                       kosmos_cfg=kcfg,
                       draft_params=draft_params, draft_cfg=draft_cfg)
 
+    adapter_name = None
+    if args.adapter_rank > 0:
+        # a ZERO adapter (b factors zero) leaves outputs bit-identical to
+        # the base model; what this measures is the decode-path cost of the
+        # per-slot factor stacks (two thin batched einsums per adapted
+        # linear) relative to the plain row
+        from kosmosx_tpu.train.lora import add_lora, strip_lora
+        tree = strip_lora(add_lora(jax.random.PRNGKey(3), params,
+                                   rank=args.adapter_rank))[1]
+        tree = jax.tree_util.tree_map(
+            lambda x: x.astype(cfg.dtype) if hasattr(x, "astype") else x,
+            tree)
+        eng.load_adapter("bench", tree)
+        adapter_name = "bench"
+
     import numpy as np
     rng = np.random.RandomState(1)
     shared_prefix = (rng.randint(4, cfg.vocab_size, size=args.prefix_len)
@@ -161,11 +185,11 @@ def main(argv=None):
     handles = []
     # admission latency: first prefill (compile) then a timed one
     handles.append(eng.submit(mk_prompt(0), max_new_tokens=args.new_tokens,
-                              images=mk_images(0)))
+                              images=mk_images(0), adapter=adapter_name))
     eng.step()  # compiles prefill+decode programs
     t0 = time.perf_counter()
     handles.append(eng.submit(mk_prompt(1), max_new_tokens=args.new_tokens,
-                              images=mk_images(1)))
+                              images=mk_images(1), adapter=adapter_name))
     eng.step()
     admit_s = time.perf_counter() - t0
 
@@ -188,7 +212,7 @@ def main(argv=None):
         while pending and eng.num_active < args.slots:
             p, im = pending.pop()
             handles.append(eng.submit(p, max_new_tokens=args.new_tokens,
-                                      images=im))
+                                      images=im, adapter=adapter_name))
             # just-admitted requests still need decode steps — don't break
             # on the pre-admission ``alive`` (lockstep completions would
             # otherwise drop the final wave's tokens)
@@ -221,7 +245,8 @@ def main(argv=None):
                   f"{f', decode_block={args.decode_block}' if args.decode_block else ''}"
                   f"{f', prefix_len={args.prefix_len}' if args.prefix_len else ''}"
                   f"{', SHARED-prefix attention' if args.share_prefix else ''}"
-                  f"{f', kv_window={args.kv_window}' if args.kv_window else ''})",
+                  f"{f', kv_window={args.kv_window}' if args.kv_window else ''}"
+                  f"{f', rank-{args.adapter_rank} adapter on every slot' if args.adapter_rank else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),
