@@ -61,6 +61,10 @@ def main(argv=None):
                          "outputs match the base model, so this isolates "
                          "the per-slot factor-stack einsum cost vs the "
                          "plain row (expect ~neutral)")
+    ap.add_argument("--moe-experts", type=int, default=0,
+                    help="token-routed MoE FFN with E experts (top-2): "
+                         "proves MoE composes with the KV-cache serving "
+                         "path on chip (multiway off; ffn 8192/expert)")
     ap.add_argument("--kv-window", type=int, default=0,
                     help="rolling KV window (StreamingLLM sinks + ring): "
                          "slot caches hold kv_window positions however "
@@ -94,7 +98,9 @@ def main(argv=None):
                         max_positions=8194, compute_dtype="bfloat16",
                         scan_layers=True, dropout=0.0, attention_dropout=0.0,
                         kv_cache_dtype="int8" if args.kv8 else None,
-                        kv_window=args.kv_window)
+                        kv_window=args.kv_window,
+                        moe_experts=args.moe_experts,
+                        multiway=args.moe_experts == 0)
     kcfg = None
     if args.multimodal:
         from kosmosx_tpu.core.config import (KosmosConfig, ResamplerConfig,
@@ -234,7 +240,7 @@ def main(argv=None):
               f"at 70% trained-draft acceptance", file=sys.stderr)
     print(json.dumps({
         "metric": f"serving decode tokens/sec ({args.layers}L/{args.dim}d "
-                  f"multiway decoder"
+                  f"{'multiway ' if args.moe_experts == 0 else ''}decoder"
                   f"{' + CLIP ViT-L/14 + resampler' if kcfg else ''}, "
                   f"bf16, {args.slots} slots, "
                   f"continuous batching{', w8' if args.w8 else ''}"
@@ -246,7 +252,8 @@ def main(argv=None):
                   f"{f', prefix_len={args.prefix_len}' if args.prefix_len else ''}"
                   f"{', SHARED-prefix attention' if args.share_prefix else ''}"
                   f"{f', kv_window={args.kv_window}' if args.kv_window else ''}"
-                  f"{f', rank-{args.adapter_rank} adapter on every slot' if args.adapter_rank else ''})",
+                  f"{f', rank-{args.adapter_rank} adapter on every slot' if args.adapter_rank else ''}"
+                  f"{f', MoE E={args.moe_experts} top2' if args.moe_experts else ''})",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
         "admission_ms": round(admit_s * 1000, 1),
