@@ -20,7 +20,18 @@ from kosmosx_tpu.serve.config import Request, unsupported_reason
 from kosmosx_tpu.serve.programs import (_insert_slot_jit, _prefill_chunk_pool_jit,
                                         _prefill_mm_one_jit,
                                         _prefill_mm_prefix_jit,
-                                        _prefill_one_jit, _trim_shared)
+                                        _prefill_one_jit,
+                                        _prefill_suffix_one_jit, _trim_shared)
+
+
+def _suffix_bucket(n: int, cap: int) -> int:
+    """Static width for the batch-1 suffix program: next power of two
+    (min 8) capped at ``max_prompt_len`` — bounds distinct compiles at
+    log2(max_prompt_len) while keeping suffix FLOPs near the true length."""
+    b = 8
+    while b < n:
+        b *= 2
+    return min(b, cap)
 
 
 class AdmissionMixin:
@@ -477,28 +488,51 @@ class AdmissionMixin:
             self.slots[slot] = req
             return
         if hit is not None or sh_match:
-            # plain-path prefix hit: copy the cached K/V into the slot (copy
-            # mode) or rely on the broadcast shared segment (share mode),
-            # then prefill only the suffix through the pooled chunk program
-            # (one compile at K = max_prompt_len; in-flight slots are
-            # unaffected — their rows carry zero valid tokens and their
-            # index is fixed)
-            if hit is not None:
-                suffix = praw[hit["len"]:]
-                self.caches = _insert_slot_jit(self.caches, hit["caches"],
-                                               slot)
-                self.index = self.index.at[slot].set(hit["len"])
-                if self.spec:
-                    self.draft_caches = _insert_slot_jit(
-                        self.draft_caches, hit["draft"], slot)
-                    self.index_d = self.index_d.at[slot].set(hit["len"])
+            # plain-path prefix hit: BATCH-1 suffix prefill (in-flight slots
+            # never pay for it), then one pool insert. Copy mode continues
+            # the LRU entry's cache (un-donated — the entry stays pristine);
+            # share mode starts a fresh remainder-only cache and attends the
+            # broadcast shared segment with positions shifted by its length.
+            suffix = praw[hit["len"]:] if hit is not None else praw
+            start = hit["len"] if hit is not None else 0
+            pad_to = _suffix_bucket(len(suffix), p)
+            srow = jnp.asarray(np.pad(
+                suffix, (0, pad_to - len(suffix)),
+                constant_values=self.scfg.pad_id))[None, :]
+            slen = jnp.asarray([len(suffix)], jnp.int32)
+            sstart = jnp.asarray([start], jnp.int32)
+            if sh_match:
+                sh_len = self.shared_seg["len"]
+                shared1 = (self.shared_seg["caches"],
+                           jnp.ones((1,), bool),
+                           jnp.full((1,), sh_len, jnp.int32))
             else:
-                suffix = praw  # already trimmed to the own-cache remainder
-                self.index = self.index.at[slot].set(0)
-                if self.spec:
-                    self.index_d = self.index_d.at[slot].set(0)
-            tok, tlp = self._suffix_prefill(slot, suffix)
-            self._commit_first_token(slot, req, tok, tlp)
+                shared1 = None
+            first, flp, c1 = _prefill_suffix_one_jit(
+                self.dec_params, srow, slen, sstart,
+                hit["caches"] if hit is not None else None, self._fold(),
+                self.cfg, self.sampling, max_len=self.cache_len,
+                double_scale=self.double_scale, shared=shared1,
+                rows=self._row1(req), interpret=self.interpret)
+            self.caches = _insert_slot_jit(self.caches, c1, slot)
+            self.index = self.index.at[slot].set(start + len(suffix))
+            if self.spec:
+                shared1_d = None
+                if sh_match:
+                    shared1_d = (self.shared_seg["draft_caches"],
+                                 jnp.ones((1,), bool),
+                                 jnp.full((1,), sh_len, jnp.int32))
+                _, _, cd1 = _prefill_suffix_one_jit(
+                    self.draft_params, srow, slen, sstart,
+                    hit["draft"] if hit is not None else None,
+                    jax.random.PRNGKey(0), self.draft_cfg, self.sampling,
+                    max_len=self.cache_len, shared=shared1_d,
+                    interpret=self.interpret)
+                self.draft_caches = _insert_slot_jit(self.draft_caches, cd1,
+                                                     slot)
+                self.index_d = self.index_d.at[slot].set(start + len(suffix))
+            tok_h, lp_h = jax.device_get((first, flp))  # ONE host round-trip
+            self._commit_first_token(slot, req, int(tok_h[0]), float(lp_h[0]))
             return
         # bucketed admission (ServeConfig.prompt_buckets): pad to the
         # smallest bucket that fits — prefill FLOPs scale with the bucket,
@@ -545,37 +579,6 @@ class AdmissionMixin:
         self.index = self.index.at[slot].set(idx[0])
         tok_h, lp_h = jax.device_get((first, flp))  # ONE host round-trip
         self._commit_first_token(slot, req, int(tok_h[0]), float(lp_h[0]))
-
-    def _suffix_prefill(self, slot: int, suffix):
-        """Prefill ``suffix`` tokens for ONE slot through the pooled chunk
-        program (target + draft pools), starting at the slot's current
-        index; returns (sampled boundary token, its log-prob). Other slots'
-        rows carry zero valid tokens and their index is untouched."""
-        import numpy as np
-
-        b, p = self.scfg.max_batch, self.scfg.max_prompt_len
-        chunk = np.full((b, p), self.scfg.pad_id, np.int32)
-        chunk[slot, :len(suffix)] = suffix
-        seg = np.full((b, p), -1, np.int32)
-        seg[slot, :len(suffix)] = 0
-        boundary = np.zeros((b,), np.int32)
-        boundary[slot] = len(suffix) - 1
-        mask = np.zeros((b,), bool)
-        mask[slot] = True
-        first, flp, self.caches, self.index = _prefill_chunk_pool_jit(
-            self.dec_params, jnp.asarray(chunk), jnp.asarray(seg),
-            self.caches, self.index, jnp.asarray(mask),
-            jnp.asarray(boundary), self._fold(), self.cfg, self.sampling,
-            double_scale=self.double_scale, shared=self._shared(),
-            rows=self._rows())
-        if self.spec:
-            _, _, self.draft_caches, self.index_d = _prefill_chunk_pool_jit(
-                self.draft_params, jnp.asarray(chunk), jnp.asarray(seg),
-                self.draft_caches, self.index_d, jnp.asarray(mask),
-                jnp.asarray(boundary), jax.random.PRNGKey(0),
-                self.draft_cfg, self.sampling, shared=self._shared_d())
-        tok_h, lp_h = jax.device_get((first, flp))  # ONE host round-trip
-        return int(tok_h[slot]), float(lp_h[slot])
 
     def _commit_first_token(self, slot: int, req: Request, tok: int,
                             lp: float):

@@ -117,6 +117,59 @@ def _prefill_mm_prefix_jit(params, prefix, images, kcfg: KosmosConfig,
     return caches, length
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "max_len",
+                                             "double_scale", "interpret"))
+def _prefill_suffix_one_jit(params, suffix, length, start, caches_one, rng,
+                            cfg: MagnetoConfig, scfg: SamplingConfig,
+                            max_len: int = 0, double_scale: bool = False,
+                            shared=None, rows=None, interpret: bool = False):
+    """Continue a batch-1 prefill: ingest ``suffix`` (1, K; pads past
+    ``length``) into ``caches_one`` at cache position ``start``.
+
+    This is the prefix-hit admission program. Routing the suffix through
+    the pooled chunk program costs max_batch x max_prompt_len token FLOPs
+    plus a donated round-trip of the WHOLE pool — measured 123.5 ms
+    admission (copy mode) / 87.6 ms (share mode) vs 62.2 ms for a plain
+    batch-1 full prefill on the flagship, turning prefix caching into a
+    regression. Batch-1 suffix FLOPs restore the saving.
+
+    ``caches_one`` is NOT donated: in copy mode it is the LRU entry, which
+    must stay pristine for the next hit. Pass ``caches_one=None`` with
+    ``max_len`` to start from a fresh batch-1 cache (shared-prefix mode:
+    the slot cache holds only the remainder; the prefix K/V lives in the
+    broadcast ``shared`` segment and positions shift by its length).
+
+    Returns (first_token (1,), its log-prob (1,), batch-1 caches ready for
+    ``_insert_slot_jit``).
+    """
+    if caches_one is None:
+        caches_one = dec.init_cache(cfg, batch=1, max_len=max_len)
+    shared_caches, shared_on, pos_offset = shared or (None, None, None)
+    k = suffix.shape[1]
+    seg = jnp.where(jnp.arange(k)[None, :] < length[:, None], 0, -1
+                    ).astype(jnp.int32)
+    pos = start if pos_offset is None else start + pos_offset
+    if double_scale:
+        emb = dec.embed_only(params, cfg, suffix)
+        x, _ = dec.forward_embedding(params, cfg, token_embedding=emb,
+                                     offset=pos[:, None])
+    else:
+        x, _ = dec.forward_embedding(params, cfg, suffix,
+                                     offset=pos[:, None])
+    h, caches_one = dec.run_layers(params, x, cfg, caches=caches_one,
+                                   cache_index=start, segment_ids=seg,
+                                   shared_caches=shared_caches,
+                                   shared_on=shared_on,
+                                   pos_offset=pos_offset,
+                                   interpret=interpret)
+    hb = jnp.take_along_axis(
+        h, jnp.broadcast_to((length - 1)[:, None, None],
+                            (h.shape[0], 1, h.shape[2])), axis=1)
+    blog = dec.output_logits(params, hb, cfg)[:, 0].astype(jnp.float32)
+    first = sample_logits(blog, rng, scfg, rows=rows)
+    return first, token_logprob(blog, first), caches_one
+
+
 def _trim_shared(caches_one, length: int, dtype):
     """Batch-1 caches -> read-only shared segment: trim the positions axis
     to the prefix length and dequantize int8 storage (the segment is tiny

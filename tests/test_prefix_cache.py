@@ -177,6 +177,33 @@ def test_shared_prefix_matches_full_prefill(params, scfg):
         assert h.tokens == ref, f"prompt {p}: {h.tokens} vs {ref}"
 
 
+@pytest.mark.parametrize("share", [False, True], ids=["copy", "share"])
+def test_suffix_bucket_boundaries(params, share):
+    """Prefix-hit admission pads the suffix to a power-of-two bucket
+    (admission._suffix_bucket) before the batch-1 suffix prefill — suffix
+    lengths straddling bucket edges (3→8, 9→16, 17→32, 33→64) must all
+    produce outputs identical to full prefill (pad positions past
+    ``length`` carry seg=-1 and are masked out of attention and the
+    boundary-logit slice)."""
+    new = 4
+    prompts = []
+    for i, lt in enumerate([3, 9, 17, 33]):
+        tail = list(np.asarray(jax.random.randint(
+            jax.random.PRNGKey(31 + i), (lt,), 4, CFG.vocab_size), np.int64))
+        prompts.append(PREFIX + tail)
+    refs = _refs(params, prompts, new)
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=2, max_prompt_len=48,
+                                  max_len=96),
+                      SamplingConfig(greedy=True))
+    eng.register_prefix(PREFIX, share=share)
+    handles = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    assert eng.prefix_hits == len(prompts)
+    for p, h, ref in zip(prompts, handles, refs):
+        assert h.tokens == ref, f"prompt {p}: {h.tokens} vs {ref}"
+
+
 def test_shared_prefix_shrinks_cache_budget(params):
     """The shared segment does not occupy per-slot cache: a max_len too
     small for prompt+new (but big enough for remainder+new) must serve
