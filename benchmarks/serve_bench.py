@@ -69,6 +69,11 @@ def main(argv=None):
                     help="rolling KV window (StreamingLLM sinks + ring): "
                          "slot caches hold kv_window positions however "
                          "long the generation runs")
+    ap.add_argument("--segment-every", type=int, default=0,
+                    help="print a per-N-step wall-time segment line to "
+                         "stderr (diagnoses mid-run anomalies — tunnel "
+                         "stalls, stray compiles — that a single end-to-end "
+                         "average hides)")
     ap.add_argument("--share-prefix", action="store_true",
                     help="with --prefix-len: shared-prefix ATTENTION "
                          "(share=True) — one broadcast KV segment, no "
@@ -209,9 +214,16 @@ def main(argv=None):
     t0 = time.perf_counter()
     tokens_before = 0
     steps = 0
+    seg_t0 = time.perf_counter()
     while True:
         alive = eng.step()
         steps += 1
+        if args.segment_every and steps % args.segment_every == 0:
+            now = time.perf_counter()
+            print(f"# steps {steps - args.segment_every + 1}-{steps}: "
+                  f"{(now - seg_t0) / args.segment_every * 1e3:.1f} ms/step",
+                  file=sys.stderr, flush=True)
+            seg_t0 = now
         if steps == 4:  # let the pool warm up before counting
             tokens_before = _total_tokens(handles)
             t0 = time.perf_counter()
