@@ -98,13 +98,20 @@ class AdmissionMixin:
                 raise ValueError(
                     f"prompt ({len(prompt)}) + image embeds ({extra}) "
                     f"exceeds kv_window ({self.cfg.kv_window})")
-            if self.cfg.xpos_rel_pos:
+            if self.cfg.xpos_rel_pos and self.shared_seg is not None:
+                # a registered SHARED prefix disables per-slot xPos
+                # re-centering (its broadcast keys sit at center 0 for every
+                # slot), so generations are bounded by the numeric range.
+                # Without one the engine re-centers (_maybe_recenter) and
+                # budgets are truly unbounded.
                 bound = xpos_position_bound(self.cfg.xpos_scale_base)
                 if len(prompt) + extra + max_new_tokens + window > bound:
                     raise ValueError(
                         f"prompt + image embeds + max_new_tokens = "
                         f"{len(prompt) + extra + max_new_tokens} exceeds "
-                        f"the xPos numeric range bound ({bound})")
+                        f"the xPos numeric range bound ({bound}); "
+                        f"shared-prefix windowed serving cannot re-center "
+                        f"(unregister the prefix for unbounded budgets)")
         else:
             own_prompt = len(prompt)
             # mirror _admit's sh_match condition exactly: adapter requests
@@ -420,6 +427,7 @@ class AdmissionMixin:
         import numpy as np
 
         self._dispatched[slot] = 0
+        self._reset_center(slot)  # fresh caches are prefilled at center 0
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
         s_idx = self.kcfg.splice_index if self.kcfg is not None else 0

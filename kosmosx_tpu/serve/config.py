@@ -215,3 +215,18 @@ def check_engine_modes(cfg, scfg: ServeConfig, draft_cfg=None,
                 f"({cfg.kv_window}): ring writes target positions in "
                 f"[0, kv_window) — a smaller buffer silently drops "
                 f"them; set max_len >= kv_window")
+        if cfg.xpos_rel_pos:
+            # mirror generate/sampler.py's reach guard: with per-slot xPos
+            # re-centering (ServeEngine._maybe_recenter) the largest
+            # |pos - center| ever rotated or cached is bounded by the
+            # window (host position over-estimate) + the recenter interval
+            from kosmosx_tpu.nn.xpos import xpos_position_bound
+            bound = xpos_position_bound(cfg.xpos_scale_base)
+            reach = cfg.kv_window + 8 * cfg.xpos_scale_base
+            if reach > bound:
+                raise ValueError(
+                    f"kv_window ({cfg.kv_window}) + re-center interval "
+                    f"(8*xpos_scale_base = {8 * cfg.xpos_scale_base}) "
+                    f"= {reach} exceeds the xPos numeric range "
+                    f"({bound}); shrink the window or raise "
+                    f"xpos_scale_base")

@@ -50,6 +50,7 @@ from kosmosx_tpu.serve.admission import AdmissionMixin
 from kosmosx_tpu.serve.config import (Request, ServeConfig,
                                       check_engine_modes)
 from kosmosx_tpu.serve.programs import (_decode_block_jit, _decode_step_jit,
+                                        _recenter_pool_jit,
                                         _spec_block_pool_jit,
                                         _spec_step_pool_jit)
 
@@ -141,6 +142,18 @@ class ServeEngine(AdmissionMixin):
         self.shared_seg = None
         self.pos_offset = jnp.zeros((b,), jnp.int32)
         self.shared_on = jnp.zeros((b,), bool)
+        # xPos re-centering for truly unbounded rolling-window serving: each
+        # slot's decay center slides forward every 8*scale_base generated
+        # tokens (the cached keys are rescaled in place — exact algebra, the
+        # center cancels in q·k), so the per-dim zeta**((pos-center)/sb)
+        # scales never leave numeric range however long a request decodes.
+        # Disabled while a SHARED prefix segment is registered (its keys are
+        # one broadcast buffer at center 0 and cannot be rescaled per slot)
+        # — submit() then enforces the xpos_position_bound instead.
+        self._recenter = cfg.kv_window > 0 and cfg.xpos_rel_pos
+        self._center = (jnp.zeros((b,), jnp.int32) if self._recenter
+                        else None)
+        self._center_host = [0] * b
         # multi-LoRA serving (load_adapter / submit(adapter=...)): per-slot
         # adapter factor stacks grafted into the decode params — every slot
         # can run a different fine-tune over the one base model
@@ -174,6 +187,38 @@ class ServeEngine(AdmissionMixin):
     def _fold(self):
         self.rng, sub = jax.random.split(self.rng)
         return sub
+
+    def _reset_center(self, slot: int):
+        """A freshly admitted slot's cache is prefilled at xPos center 0."""
+        if self._center is not None and self._center_host[slot] != 0:
+            self._center_host[slot] = 0
+            self._center = self._center.at[slot].set(0)
+
+    def _maybe_recenter(self, active_list):
+        """Slide due slots' xPos centers forward (rolling-window serving).
+
+        Host-side position estimate: a slot's absolute write position is
+        prompt_len + dispatched <= kv_window + dispatched (admission enforces
+        prompt + image embeds <= kv_window), so the upper bound errs early by
+        at most one window — harmless against the 8*scale_base interval and
+        it keeps |pos - center| small either way. The pooled rescale
+        (_recenter_pool_jit) is one donated cache rewrite per event, i.e.
+        once per ~4k generated tokens per slot."""
+        if self._center is None or self.shared_seg is not None:
+            return
+        every = 8 * self.cfg.xpos_scale_base
+        pos = [self.cfg.kv_window + d for d in self._dispatched]
+        due = [a and pos[i] - self._center_host[i] >= every
+               for i, a in enumerate(active_list)]
+        if not any(due):
+            return
+        new = [pos[i] if d else self._center_host[i]
+               for i, d in enumerate(due)]
+        delta = jnp.asarray(
+            [n - c for n, c in zip(new, self._center_host)], jnp.int32)
+        self.caches = _recenter_pool_jit(self.caches, delta, self.cfg)
+        self._center_host = new
+        self._center = jnp.asarray(new, jnp.int32)
 
     def _shard_cache(self, caches):
         """Shard the pooled KV cache's heads dim over the mesh's `tensor`
@@ -221,6 +266,7 @@ class ServeEngine(AdmissionMixin):
             and (self.spec or self._dispatched[i] < s.max_new_tokens)
             for i, s in enumerate(self.slots)]
         if any(active_list):
+            self._maybe_recenter(active_list)
             key = tuple(active_list)
             if self._active_dev is None or key != self._active_key:
                 self._active_dev = jnp.asarray(active_list, bool)
@@ -259,7 +305,7 @@ class ServeEngine(AdmissionMixin):
                     self.block, pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
                     shared=self._shared(), rows=self._rows(),
-                    interpret=self.interpret)
+                    center=self._center, interpret=self.interpret)
                 n_emit = [self.block if a else 0 for a in active_list]
             else:
                 nxt, nlp, self.caches, self.index = _decode_step_jit(
@@ -268,7 +314,7 @@ class ServeEngine(AdmissionMixin):
                     pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
                     shared=self._shared(), rows=self._rows(),
-                    interpret=self.interpret)
+                    center=self._center, interpret=self.interpret)
                 # the decode feedback loop stays on DEVICE (last <- nxt):
                 # rebuilding ``last`` host-side would cost a host→device
                 # RTT per token on remote links (~25 ms on the axon

@@ -205,17 +205,35 @@ def _insert_slot_jit(caches, caches_one, slot):
     return jax.tree_util.tree_map(ins, caches, caches_one)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _recenter_pool_jit(caches, delta, cfg: MagnetoConfig):
+    """Slide each slot's xPos decay center forward by ``delta`` (B,)
+    positions (nn.decoder.recenter_caches over the donated pool). Rows with
+    delta 0 are exact no-ops: bf16 keys multiply by 1.0, and int8 keys
+    re-quantize to identical codes (dequantized values are exactly
+    representable, so absmax and codes round-trip losslessly)."""
+    return dec.recenter_caches(caches, delta, cfg)
+
+
 def _decode_core(params, last_tokens, caches, index, active, rng,
                  cfg: MagnetoConfig, scfg: SamplingConfig,
                  pad_id: int = 1, double_scale: bool = False,
-                 shared=None, rows=None, interpret: bool = False):
+                 shared=None, rows=None, center=None,
+                 interpret: bool = False):
     """One decode step for every slot. Inactive slots still compute (static
     shapes) but their index does not advance and their token is ignored.
 
     ``shared = (shared_caches, shared_on, pos_offset)``: the engine's
     shared-prefix segment (see ServeEngine.register_prefix(share=True)) —
     flagged slots attend it in place of per-slot prefix cache copies and
-    their positions shift by its length."""
+    their positions shift by its length.
+
+    ``center`` (B,): per-slot xPos decay center — rolling-window serving
+    re-centers each slot's cached keys every few thousand steps
+    (ServeEngine._maybe_recenter / nn.decoder.recenter_caches) so the
+    per-dim ``zeta**((pos-center)/scale_base)`` scales stay in numeric
+    range however long the generation runs (exact algebra: the center
+    cancels in q·k)."""
     # inactive slots feed pad (their ``last`` may hold a stale sampled token
     # — the engine keeps ``last`` on device to avoid a host→device RTT/step)
     last_tokens = jnp.where(active, last_tokens, pad_id)
@@ -237,6 +255,7 @@ def _decode_core(params, last_tokens, caches, index, active, rng,
                                cache_index=index,
                                shared_caches=shared_caches,
                                shared_on=shared_on, pos_offset=pos_offset,
+                               xpos_center=center,
                                interpret=interpret)
     logits = dec.output_logits(params, h, cfg)[:, 0]
     nxt = sample_logits(logits, rng, scfg, rows=rows)
@@ -250,10 +269,12 @@ def _decode_core(params, last_tokens, caches, index, active, rng,
 def _decode_step_jit(params, last_tokens, caches, index, active, rng,
                      cfg: MagnetoConfig, scfg: SamplingConfig,
                      pad_id: int = 1, double_scale: bool = False,
-                     shared=None, rows=None, interpret: bool = False):
+                     shared=None, rows=None, center=None,
+                     interpret: bool = False):
     return _decode_core(params, last_tokens, caches, index, active, rng,
                         cfg, scfg, pad_id=pad_id, double_scale=double_scale,
-                        shared=shared, rows=rows, interpret=interpret)
+                        shared=shared, rows=rows, center=center,
+                        interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "scfg", "block",
@@ -263,18 +284,21 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
 def _decode_block_jit(params, last_tokens, caches, index, active, rng,
                       cfg: MagnetoConfig, scfg: SamplingConfig, block: int,
                       pad_id: int = 1, double_scale: bool = False,
-                      shared=None, rows=None, interpret: bool = False):
+                      shared=None, rows=None, center=None,
+                      interpret: bool = False):
     """``block`` decode steps for every slot in ONE dispatch (lax.scan over
     the single-step core, token feedback on device). Amortizes the per-step
     dispatch/link overhead — on the remote chip one dispatch costs ~3 ms on
     top of a ~7-10 ms flagship decode step. Returns (B, block) tokens and
-    their (B, block) log-probs."""
+    their (B, block) log-probs. ``center`` is constant across the block —
+    the engine re-centers only BETWEEN dispatches (the recenter interval
+    has thousands of steps of slack, so a block's worth of drift is free)."""
     def body(carry, k):
         last, caches, index = carry
         nxt, lp, caches, index = _decode_core(
             params, last, caches, index, active, jax.random.fold_in(rng, k),
             cfg, scfg, pad_id=pad_id, double_scale=double_scale,
-            shared=shared, rows=rows, interpret=interpret)
+            shared=shared, rows=rows, center=center, interpret=interpret)
         return (nxt, caches, index), (nxt, lp)
 
     (last, caches, index), (toks, lps) = jax.lax.scan(

@@ -323,6 +323,104 @@ class TestXposRecentering:
                           SamplingConfig(max_new_tokens=4))
 
 
+class TestEngineRecentering:
+    """The SERVING engine re-centers too (ServeEngine._maybe_recenter):
+    windowed pools decode past xpos_position_bound() with outputs equal to
+    the (already-recentering) jitted generate loop; a registered SHARED
+    prefix disables re-centering and submit() enforces the bound instead."""
+
+    def test_engine_unbounded_matches_generate(self, params):
+        from kosmosx_tpu.generate import SamplingConfig
+        from kosmosx_tpu.nn.xpos import xpos_position_bound
+        from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+        sb = 8
+        cfg_w = dataclasses.replace(CFG, kv_window=32, kv_sink=4,
+                                    xpos_scale_base=sb, scan_layers=True)
+        params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_w)
+        bound = xpos_position_bound(sb)  # 140 at sb=8
+        new = bound + 100  # far past the fixed-center numeric range
+        eng = ServeEngine(params_s, cfg_w,
+                          ServeConfig(max_batch=2, max_prompt_len=8,
+                                      max_len=32),
+                          SamplingConfig(greedy=True))
+        h = eng.submit([5, 9, 2], max_new_tokens=new)
+        eng.run()
+        assert h.done and len(h.tokens) == new
+        assert max(eng._center_host) > 0  # re-centering actually fired
+        ref = generate_text(params_s, cfg_w, jnp.asarray([[5, 9, 2]],
+                                                         jnp.int32),
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+        assert h.tokens == [int(t) for t in np.asarray(ref[0])]
+        # a re-admitted slot starts back at center 0
+        h2 = eng.submit([4, 8], max_new_tokens=4)
+        eng.run()
+        assert h2.done and eng._center_host[0] == 0
+
+    def test_engine_recenter_lockstep_slots(self, params):
+        """Two slots admitted at different times re-center independently
+        (per-slot deltas; the not-due slot's keys are untouched)."""
+        from kosmosx_tpu.generate import SamplingConfig
+        from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+        sb = 8
+        cfg_w = dataclasses.replace(CFG, kv_window=32, kv_sink=4,
+                                    xpos_scale_base=sb, scan_layers=True)
+        params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_w)
+        eng = ServeEngine(params_s, cfg_w,
+                          ServeConfig(max_batch=2, max_prompt_len=8,
+                                      max_len=32),
+                          SamplingConfig(greedy=True))
+        ha = eng.submit([5, 9, 2], max_new_tokens=200)
+        for _ in range(60):  # slot 0 runs ahead, then slot 1 joins
+            eng.step()
+        hb = eng.submit([7, 3], max_new_tokens=200)
+        eng.run()
+        assert ha.done and hb.done
+        for h, p in ((ha, [5, 9, 2]), (hb, [7, 3])):
+            ref = generate_text(params_s, cfg_w,
+                                jnp.asarray([p], jnp.int32),
+                                SamplingConfig(max_new_tokens=200,
+                                               greedy=True))
+            assert h.tokens == [int(t) for t in np.asarray(ref[0])]
+
+    def test_shared_prefix_window_keeps_bound(self, params):
+        from kosmosx_tpu.generate import SamplingConfig
+        from kosmosx_tpu.nn.xpos import xpos_position_bound
+        from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+        sb = 8
+        cfg_w = dataclasses.replace(CFG, kv_window=32, kv_sink=4,
+                                    xpos_scale_base=sb, scan_layers=True)
+        params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_w)
+        eng = ServeEngine(params_s, cfg_w,
+                          ServeConfig(max_batch=2, max_prompt_len=8,
+                                      max_len=32),
+                          SamplingConfig(greedy=True))
+        eng.register_prefix([5, 9], share=True)
+        over = xpos_position_bound(sb) + 100
+        with pytest.raises(ValueError, match="cannot re-center"):
+            eng.submit([5, 9, 2], max_new_tokens=over)
+        # bounded budgets still serve (and skip re-centering)
+        h = eng.submit([5, 9, 2], max_new_tokens=8)
+        eng.run()
+        assert h.done and len(h.tokens) == 8
+        assert max(eng._center_host) == 0
+
+    def test_engine_window_reach_guard(self, params):
+        from kosmosx_tpu.generate import SamplingConfig
+        from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+        cfg_bad = dataclasses.replace(CFG, kv_window=130, kv_sink=4,
+                                      xpos_scale_base=2, scan_layers=True)
+        params_s = dec.init_decoder(jax.random.PRNGKey(0), cfg_bad)
+        with pytest.raises(ValueError, match="re-center interval"):
+            ServeEngine(params_s, cfg_bad,
+                        ServeConfig(max_batch=2, max_prompt_len=8,
+                                    max_len=130),
+                        SamplingConfig(greedy=True))
+
+
 def test_speculative_window_guard(params):
     from kosmosx_tpu.generate import speculative_generate
 
