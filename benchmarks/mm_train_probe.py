@@ -47,7 +47,10 @@ def main():
                               remat=True, remat_policy="dots",
                               dropout=0.0, attention_dropout=0.0,
                               use_flash_attention=True, max_positions=8194,
-                              flash_block_q=1024, flash_block_kv=1024),
+                              # 1024^2 blocks OOM the flash BACKWARD's scoped
+                              # VMEM at seq 2048 (21 MB > 16 MB limit measured
+                              # on-chip); training runs 512^2
+                              flash_block_q=512, flash_block_kv=512),
         vision=VisionConfig(compute_dtype="bfloat16"),
         resampler=ResamplerConfig(compute_dtype="bfloat16"))
     tcfg = TrainConfig(batch_size=BATCH, seq_len=TEXT_LEN, learning_rate=1e-4,
@@ -62,7 +65,7 @@ def main():
                                         key, jnp.bfloat16),
         loss_fn=kosmos_loss_fn(kcfg), cfg=tcfg)
     state = trainer.init_state()
-    n = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    n = sum(x.size for x in jax.tree_util.tree_leaves(state["params"]))
     print(f"params {n / 1e9:.2f}B", flush=True)
     step_fn = trainer._build_step()
     batches = synthetic_multimodal_batches(
