@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
-         w8: bool = False, kv8: bool = False):
+         w8: bool = False, kv8: bool = False, fast_attn: bool = False,
+         no_scan: bool = False, no_unroll: bool = False,
+         force_unroll: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -31,10 +33,15 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
     from kosmosx_tpu.models.kosmos import Kosmos
 
     cfg = KosmosConfig(
-        decoder=MagnetoConfig(compute_dtype="bfloat16", scan_layers=True,
+        decoder=MagnetoConfig(compute_dtype="bfloat16",
+                              scan_layers=not no_scan,
                               dropout=0.0, attention_dropout=0.0,
                               max_positions=8194,
-                              kv_cache_dtype="int8" if kv8 else None),
+                              kv_cache_dtype="int8" if kv8 else None,
+                              decode_attn_kernel=fast_attn,
+                              decode_unroll=not no_unroll,
+                              **({"decode_unroll_min_len": 1}
+                                 if force_unroll else {})),
         vision=VisionConfig(compute_dtype="bfloat16"),
         resampler=ResamplerConfig(compute_dtype="bfloat16"))
     params = init_casted(lambda k: Kosmos.init(k, cfg),
@@ -64,7 +71,11 @@ def main(batch: int = 8, new_tokens: int = 128, prompt_len: int = 128,
     print(json.dumps({
         "metric": f"decode tokens/sec/chip (2.88B flagship, "
                   f"{'int8 weights' if w8 else 'bf16'}"
-                  f"{', int8 kv-cache' if kv8 else ''}, batch "
+                  f"{', int8 kv-cache' if kv8 else ''}"
+                  f"{', pallas decode-attn' if fast_attn else ''}"
+                  f"{', unrolled layers' if no_scan else ''}"
+                  f"{', scan decode' if no_unroll else ''}"
+                  f"{', forced unroll' if force_unroll else ''}, batch "
                   f"{batch}, {new_tokens} new tokens, {prompt_len}+64 prefill)",
         "value": round(tps, 1),
         "unit": "tokens/sec/chip",
@@ -78,4 +89,7 @@ if __name__ == "__main__":
     b = int(args[0]) if len(args) > 0 else 8
     n = int(args[1]) if len(args) > 1 else 128
     pl = int(args[2]) if len(args) > 2 else 128
-    main(b, n, pl, w8="--w8" in sys.argv, kv8="--kv8" in sys.argv)
+    main(b, n, pl, w8="--w8" in sys.argv, kv8="--kv8" in sys.argv,
+         fast_attn="--fast-attn" in sys.argv, no_scan="--no-scan" in sys.argv,
+         no_unroll="--no-unroll" in sys.argv,
+         force_unroll="--force-unroll" in sys.argv)

@@ -65,6 +65,14 @@ def main(argv=None):
                     help="token-routed MoE FFN with E experts (top-2): "
                          "proves MoE composes with the KV-cache serving "
                          "path on chip (multiway off; ffn 8192/expert)")
+    ap.add_argument("--unroll-min-len", type=int, default=None,
+                    help="ServeConfig.unroll_min_len override: pool length "
+                         "above which decode programs unstack into "
+                         "per-layer buffers (None = inherit the model "
+                         "default; big value = force the lax.scan path)")
+    ap.add_argument("--fast-attn", action="store_true",
+                    help="decode_attn_kernel=True: Pallas single-query "
+                         "cache attention (ops/decode_attention.py)")
     ap.add_argument("--kv-window", type=int, default=0,
                     help="rolling KV window (StreamingLLM sinks + ring): "
                          "slot caches hold kv_window positions however "
@@ -104,6 +112,7 @@ def main(argv=None):
                         scan_layers=True, dropout=0.0, attention_dropout=0.0,
                         kv_cache_dtype="int8" if args.kv8 else None,
                         kv_window=args.kv_window,
+                        decode_attn_kernel=args.fast_attn,
                         moe_experts=args.moe_experts,
                         multiway=args.moe_experts == 0)
     kcfg = None
@@ -150,7 +159,8 @@ def main(argv=None):
                                   sync_lag=args.sync_lag,
                                   spec_gamma=args.spec_gamma,
                                   decode_block=args.decode_block,
-                                  prefill_chunk=args.prefill_chunk),
+                                  prefill_chunk=args.prefill_chunk,
+                                  unroll_min_len=args.unroll_min_len),
                       SamplingConfig(greedy=True),
                       kosmos_cfg=kcfg,
                       draft_params=draft_params, draft_cfg=draft_cfg)

@@ -114,6 +114,33 @@ class MagnetoConfig:
     # (the xPos rotation stays exact/absolute). 0 = full append-only cache.
     kv_window: int = 0
     kv_sink: int = 4
+    # Unroll the layer loop for cached DECODE steps even when scan_layers,
+    # over PER-LAYER cache buffers (a list, not one stacked array): inside
+    # lax.scan each layer's (B, H, max_len, hd) cache slice is
+    # dynamic-slice-copied out of the stacked carry and copied back — ~4x
+    # the cache bytes per token. Unrolled over separate buffers the layer
+    # index is STATIC and each update aliases in place. Measured on-chip
+    # (flagship, batch 8 — BASELINE.md decode-unroll section): pool 320
+    # unroll 1221 tok/s vs scan 912; pool 512: 962 vs 702; pool 1216:
+    # 566 vs 268 (2.1x). NOTE an unroll with static .at[li] indices into
+    # the one STACKED array measured SLOWER than the scan (226 at pool
+    # 1216) — separate buffers are the whole win. Costs one-time compile
+    # (~2x) of decode programs; prefill/training keep the scan.
+    decode_unroll: bool = True
+    # Only unroll when the cache pool is at least this long. 0 = always —
+    # the unroll won at every pool length measured (see above). generate_*
+    # unstacks once outside its token scan; the serving engine goes
+    # further and HOLDS its pool as per-layer buffers from construction
+    # (ServeEngine._pool_layout; override via ServeConfig.unroll_min_len).
+    # Pool length is static (a cache shape), so the choice is
+    # per-compiled-program, not per-request.
+    decode_unroll_min_len: int = 0
+    # Pallas single-query decode-attention kernel (ops/decode_attention.py):
+    # streams the KV cache on the VPU instead of XLA's M=1 MXU einsums and
+    # skips DMA past each row's valid length. Applies to L=1 cached steps
+    # without a shared prefix; other shapes keep the einsum path. Default
+    # off pending the on-chip study (benchmarks/decode_attn_study.py).
+    decode_attn_kernel: bool = False
     # Mixture-of-experts FFN (nn/moe.py). 0 = dense FFN (reference parity;
     # the reference's only expert structure is the static multiway split).
     # >0 replaces every layer's FFN with a token-routed MoE of that many

@@ -51,6 +51,11 @@ def _beam_from_logits(params, last_logits, caches, start_index,
     b = last_logits.shape[0]
     v = cfg.vocab_size
     neg = jnp.finfo(jnp.float32).min
+    # per-layer buffers for the unrolled decode loop (one-time unstack
+    # outside the beam scan; the caches are not returned, so no restack) —
+    # _beam_axis/_repeat_cache/_gather_cache handle both layouts
+    if dec.wants_unrolled_decode(cfg, caches):
+        caches = dec.unstack_caches(caches, cfg)
     caches = _repeat_cache(caches, beam)
 
     logp0 = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)

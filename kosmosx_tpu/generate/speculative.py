@@ -187,6 +187,14 @@ def _speculative_jit(params_t, params_d, prompt, prompt_lengths, rng,
     _, caches_d = _prefill(params_d, cfg_d, x_d, caches_d,
                            prompt_lengths, seg)
 
+    # per-layer buffers for the unrolled decode loop in every round's
+    # draft scan + verify (one-time unstack outside the while_loop; the
+    # caches are not returned, so no restack) — see nn/decoder
+    if dec.wants_unrolled_decode(cfg_t, caches_t):
+        caches_t = dec.unstack_caches(caches_t, cfg_t)
+    if dec.wants_unrolled_decode(cfg_d, caches_d):
+        caches_d = dec.unstack_caches(caches_d, cfg_d)
+
     rng, r0 = jax.random.split(rng)
     carry_tok = sample_logits(last_logits, r0, scfg)      # committed token 0
     out = jnp.full((b, scfg.max_new_tokens), fill, jnp.int32)

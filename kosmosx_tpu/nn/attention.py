@@ -215,6 +215,7 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                    shared_on: Optional[jax.Array] = None,
                    pos_offset: Optional[jax.Array] = None,
                    kv_window: int = 0, kv_sink: int = 4,
+                   decode_attn_kernel: bool = False,
                    xpos_center: Optional[jax.Array] = None,
                    dtype=None,
                    interpret: bool = False,
@@ -410,6 +411,19 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                                 kv_segment_ids=segment_ids,
                                 block_q=flash_block_q, block_kv=flash_block_kv,
                                 interpret=interpret)
+        elif (decode_attn_kernel and l == 1 and shared_kv is None
+              and cache["k"].shape[2] % 8 == 0):
+            # Pallas single-query kernel: VPU cache streaming + DMA skip past
+            # kv_len (ops/decode_attention.py). At L=1 the causal mask is
+            # subsumed by the kv_len mask (every cached slot holds a
+            # strictly older position — append mode writes at idx with
+            # kv_len = idx+1; ring mode only ever holds older slots).
+            from kosmosx_tpu.ops.decode_attention import decode_attention
+            o = decode_attention(
+                q, new_cache["k"], new_cache["v"], kv_len,
+                k_scale=new_cache.get("k_scale"),
+                v_scale=new_cache.get("v_scale"),
+                interpret=interpret)
         else:
             o = _jnp_attention(q, new_cache["k"], new_cache["v"],
                                causal=causal,

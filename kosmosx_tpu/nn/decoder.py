@@ -163,6 +163,7 @@ def decoder_layer(params, x, cfg: MagnetoConfig, *,
         rng=rngs[0], cache=cache, cache_index=cache_index,
         prefill=prefill, shared_kv=shared_kv, shared_on=shared_on,
         pos_offset=pos_offset, kv_window=cfg.kv_window, kv_sink=cfg.kv_sink,
+        decode_attn_kernel=cfg.decode_attn_kernel,
         xpos_center=xpos_center,
         dtype=dtype, interpret=interpret,
         sequence_axis=cfg.sequence_axis,
@@ -374,6 +375,36 @@ def run_layers(params, x, cfg: MagnetoConfig, *,
             x, auxs = jax.lax.scan(body, x, (scan_xs, rngs, layer_ids))
             aux = auxs.sum()
             new_caches = None
+        elif isinstance(caches, (list, tuple)):
+            # Unrolled cached-decode steps (MagnetoConfig.decode_unroll):
+            # the caller unstacked the cache into PER-LAYER list entries
+            # (unstack_caches) so each layer's KV is its own buffer — the
+            # in-place dynamic_update_slice then aliases through the token
+            # scan's carry with no copies. Params stay stacked; the static
+            # `a[li]` slices are loop-invariant and XLA hoists them. The
+            # scan version below dynamic-slice-COPIES each layer's
+            # (B, H, max_len, hd) cache out of the carry and back (~4x the
+            # cache bytes/token: 566 vs 268 tok/s at 1024-prompt, 1221 vs
+            # 912 at 128-prompt, on-chip — BASELINE.md decode-unroll
+            # section). NOTE a stacked-cache unroll (static `.at[li]`
+            # writebacks on the stacked array) was measured SLOWER than the
+            # scan (225.9 tok/s) — separate buffers are the whole win.
+            # Static per-layer W8 slices take the plain XLA dequant path
+            # (best at decode, BASELINE.md W8 study).
+            aux = jnp.zeros([], jnp.float32)
+            new_caches = []
+            for li in range(cfg.layers):
+                lp = jax.tree_util.tree_map(lambda a: a[li],
+                                            params["layers"])
+                lshared = None
+                if shared_caches is not None:
+                    lshared = jax.tree_util.tree_map(
+                        lambda c: c[li], shared_caches)
+                x, ncache, laux = one_layer(
+                    lp, x, rngs[li] if rngs is not None else None,
+                    caches[li], lshared)
+                aux = aux + laux
+                new_caches.append(ncache)
         else:
             # Carry the stacked (layers, ...) cache and update each layer's
             # slice in place: threading it through scan xs->ys instead would
@@ -481,6 +512,42 @@ def init_cache(cfg: MagnetoConfig, batch: int, max_len: int, dtype=None):
         stacked = (cfg.layers,) + shape
         return {"k": jnp.zeros(stacked, dtype), "v": jnp.zeros(stacked, dtype)}
     return [one() for _ in range(cfg.layers)]
+
+
+def wants_unrolled_decode(cfg: MagnetoConfig, caches) -> bool:
+    """Should cached decode over this pool run the unrolled layer loop?
+
+    True when the config opts in AND the pool is at least
+    decode_unroll_min_len. On-chip the per-layer-buffer unroll beat the
+    scan at EVERY pool length measured (1221 vs 912 tok/s at pool 320,
+    962 vs 702 at 512, 566 vs 268 at 1216 — BASELINE.md decode-unroll
+    section), so the model default is 0 (always); the serving engine
+    gates separately (ServeConfig.unroll_min_len) because its dispatch
+    boundary pays unstack/restack pool copies. Pool length is static (a
+    cache shape), so this decides per compiled program."""
+    if not (cfg.scan_layers and cfg.decode_unroll) or caches is None:
+        return False
+    first = caches[0] if isinstance(caches, (list, tuple)) else caches
+    return first["k"].shape[-2] >= cfg.decode_unroll_min_len
+
+
+def unstack_caches(caches, cfg: MagnetoConfig):
+    """Stacked ``(layers, ...)`` cache tree -> per-layer list, one buffer
+    per layer. This is what makes the unrolled decode loop fast: each
+    layer's in-place KV update aliases through the token scan's carry
+    instead of being dynamic-slice-copied out of one big array. The
+    unstack itself copies the cache ONCE — do it outside the token scan."""
+    if isinstance(caches, (list, tuple)):
+        return list(caches)
+    return [jax.tree_util.tree_map(lambda c: c[li], caches)
+            for li in range(cfg.layers)]
+
+
+def stack_caches(caches):
+    """Inverse of unstack_caches (per-layer list -> stacked tree)."""
+    if not isinstance(caches, (list, tuple)):
+        return caches
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *caches)
 
 
 def recenter_caches(caches, delta, cfg: MagnetoConfig):

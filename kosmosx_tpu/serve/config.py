@@ -84,6 +84,16 @@ class ServeConfig:
     # answer to shared system prompts / few-shot headers. Greedy outputs
     # are identical to full prefill (same cache contents, same positions).
     prefix_cache_size: int = 8
+    # Serving-side override of MagnetoConfig.decode_unroll_min_len (None =
+    # inherit). The engine picks its pool's RESIDENT layout once at
+    # construction (ServeEngine._pool_layout): per-layer list buffers when
+    # the unroll applies (decode programs then run the unrolled layer loop
+    # with in-place cache updates — measured faster at every pool length,
+    # BASELINE.md decode-unroll section), the stacked array otherwise.
+    # Raise this (or set decode_unroll=False on the model config) to force
+    # the lax.scan decode path, e.g. to trade step speed for the unrolled
+    # programs' ~2x one-time compile. Applied to cfg AND draft_cfg.
+    unroll_min_len: Optional[int] = None
 
     @property
     def overrun_window(self) -> int:

@@ -37,6 +37,7 @@ Module layout (split for reviewability; the public surface is unchanged):
 
 from __future__ import annotations
 
+import dataclasses
 from collections import OrderedDict, deque
 from typing import Any, Dict, List, Optional
 
@@ -88,6 +89,14 @@ class ServeEngine(AdmissionMixin):
         check_engine_modes(cfg, scfg_, draft_cfg=draft_cfg,
                            kosmos_cfg=kosmos_cfg,
                            sampling=sampling if self.spec else None)
+        # serving-side unroll gate (ServeConfig.unroll_min_len, None =
+        # inherit): decides the pool's resident layout, see _pool_layout
+        if scfg_.unroll_min_len is not None:
+            cfg = dataclasses.replace(
+                cfg, decode_unroll_min_len=scfg_.unroll_min_len)
+            if draft_cfg is not None:
+                draft_cfg = dataclasses.replace(
+                    draft_cfg, decode_unroll_min_len=scfg_.unroll_min_len)
         self.cfg = cfg
         self.kcfg = kosmos_cfg
         self.params = params
@@ -110,7 +119,8 @@ class ServeEngine(AdmissionMixin):
         self.cache_len = (min(self.scfg.max_len, cfg.kv_window)
                           if cfg.kv_window > 0 else self.scfg.max_len)
         self.caches = self._shard_cache(
-            dec.init_cache(cfg, batch=b, max_len=self.cache_len))
+            self._pool_layout(dec.init_cache(cfg, batch=b,
+                                             max_len=self.cache_len), cfg))
         self.index = jnp.zeros((b,), jnp.int32)
         self.last = jnp.full((b,), self.scfg.pad_id, jnp.int32)
         self.slots: List[Optional[Request]] = [None] * b
@@ -126,7 +136,9 @@ class ServeEngine(AdmissionMixin):
         self.draft_cfg = draft_cfg
         if self.spec:
             self.draft_caches = self._shard_cache(
-                dec.init_cache(draft_cfg, batch=b, max_len=self.cache_len))
+                self._pool_layout(dec.init_cache(draft_cfg, batch=b,
+                                                 max_len=self.cache_len),
+                                  draft_cfg))
             # the draft's own cache index: equals the target's for text
             # slots; lags by n_images*image_embed_len for multimodal slots
             # (the text-only draft proposes from tokens alone; the target's
@@ -219,6 +231,18 @@ class ServeEngine(AdmissionMixin):
         self.caches = _recenter_pool_jit(self.caches, delta, self.cfg)
         self._center_host = new
         self._center = jnp.asarray(new, jnp.int32)
+
+    def _pool_layout(self, caches, cfg):
+        """Pick the pool's resident layout ONCE at construction: a per-layer
+        LIST when unrolled decode applies (nn.decoder.wants_unrolled_decode)
+        so every decode dispatch takes run_layers' unrolled branch with
+        in-place per-layer cache updates — no unstack/restack copies at
+        dispatch boundaries (wrapping the programs instead was measured to
+        REGRESS: 148.3 vs 174.1 tok/s at 1024-prompt step mode). All pool
+        programs (insert/recenter/chunk-prefill/shard) handle both layouts."""
+        if dec.wants_unrolled_decode(cfg, caches):
+            return dec.unstack_caches(caches, cfg)
+        return caches
 
     def _shard_cache(self, caches):
         """Shard the pooled KV cache's heads dim over the mesh's `tensor`

@@ -195,7 +195,15 @@ def _insert_slot_jit(caches, caches_one, slot):
     """Write a batch-1 cache into slot ``slot`` of the pooled cache.
 
     ``slot`` is traced (one compiled program serves every slot) and the pool
-    is donated (in-place update instead of a full pooled-cache copy)."""
+    is donated (in-place update instead of a full pooled-cache copy). The
+    pool may be a per-layer LIST (unrolled-decode engines) while the batch-1
+    prefill/prefix caches stay stacked ``(L, 1, H, S, ·)`` — the stacked
+    side is unstacked here (the per-layer slices fuse into the slot writes;
+    nothing extra materializes)."""
+    if isinstance(caches, (list, tuple)) and \
+            not isinstance(caches_one, (list, tuple)):
+        caches_one = [jax.tree_util.tree_map(lambda c: c[li], caches_one)
+                      for li in range(len(caches))]
 
     def ins(pool, one):
         axis = 1 if pool.ndim == 5 else 0  # stacked (L,B,H,S,hd) vs (B,H,S,hd)
@@ -271,6 +279,12 @@ def _decode_step_jit(params, last_tokens, caches, index, active, rng,
                      pad_id: int = 1, double_scale: bool = False,
                      shared=None, rows=None, center=None,
                      interpret: bool = False):
+    # The engine holds the pool in its decode-native layout — a per-layer
+    # LIST when unrolled decode is on (run_layers branches on the type), the
+    # stacked array otherwise — so no per-dispatch unstack/restack copies
+    # happen here. An unstack/restack wrap at this boundary was measured to
+    # REGRESS 1024-prompt serving (148.3 vs 174.1 tok/s scan): two pool
+    # copies per single-step dispatch outweigh the unroll win.
     return _decode_core(params, last_tokens, caches, index, active, rng,
                         cfg, scfg, pad_id=pad_id, double_scale=double_scale,
                         shared=shared, rows=rows, center=center,
@@ -301,6 +315,10 @@ def _decode_block_jit(params, last_tokens, caches, index, active, rng,
             shared=shared, rows=rows, center=center, interpret=interpret)
         return (nxt, caches, index), (nxt, lp)
 
+    # A per-layer-list pool (unrolled-decode engines) carries through the
+    # token scan as-is: each layer's in-place cache update aliases instead
+    # of the stacked carry's per-layer dynamic-slice copies (~4x cache
+    # bytes per STEP — see nn.decoder.run_layers).
     (last, caches, index), (toks, lps) = jax.lax.scan(
         body, (last_tokens, caches, index), jnp.arange(block))
     return toks.T, lps.T, last, caches, index
@@ -331,7 +349,8 @@ def _spec_core(params, dparams, last_tokens, caches, dcaches,
     return emit, emit_lp, n_emit, carry_next, caches, dcaches, index, index_d
 
 
-# in-place cache scatters: donate both cache pools
+# in-place cache scatters: donate both cache pools (each pool arrives in
+# its decode-native layout — per-layer list when unrolled decode is on)
 _spec_step_pool_jit = functools.partial(
     jax.jit, static_argnames=("cfg", "dcfg", "scfg", "gamma", "pad_id",
                               "double_scale"),
@@ -364,6 +383,8 @@ def _spec_block_pool_jit(params, dparams, last_tokens, caches, dcaches,
         return (last, caches, dcaches, index, index_d), \
             (emit, emit_lp, n_emit)
 
+    # per-layer-list pools carry through the round scan as-is (see
+    # _decode_block_jit)
     (last, caches, dcaches, index, index_d), (emits, emit_lps, n_emits) = \
         jax.lax.scan(body, (last_tokens, caches, dcaches, index, index_d),
                      jnp.arange(block))

@@ -24,18 +24,21 @@ try:
 except Exception:
     pass
 
-# Persistent compilation cache: warm re-runs of the suite skip most XLA
-# compiles (measured ~2x on compile-heavy files; the box has ONE core, so
-# compile time dominates the fast tier).
-_cache_dir = os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+# Persistent compilation cache: DISABLED by default (2026-08-19). It gave
+# ~2x warm re-runs, but XLA:CPU AOT cache LOADS abort/segfault intermittently
+# on this box — the loader logs "Target machine feature +prefer-no-scatter is
+# not supported on the host machine ... could lead to execution errors such
+# as SIGILL", and three suite runs died inside
+# compilation_cache.get_executable_and_time at different tests (even with a
+# freshly written cache). Opt back in with JAX_COMPILATION_CACHE_DIR if the
+# host/jaxlib feature detection gets fixed.
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 import pytest  # noqa: E402
 

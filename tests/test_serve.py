@@ -540,8 +540,11 @@ def test_engine_tensor_parallel_params(devices):
                                       max_len=48),
                           SamplingConfig(greedy=True), mesh=mesh)
         if mesh is not None:
-            shard = eng.caches["k"].sharding.shard_shape(eng.caches["k"].shape)
-            assert shard[2] == cfg.heads // 4, shard  # heads over tensor=4
+            # unrolled-decode engines hold the pool as a per-layer list
+            k = (eng.caches[0] if isinstance(eng.caches, list)
+                 else eng.caches)["k"]
+            shard = k.sharding.shard_shape(k.shape)
+            assert shard[-3] == cfg.heads // 4, shard  # heads over tensor=4
         hs = [eng.submit(pr, max_new_tokens=6) for pr in prompts]
         eng.run()
         return [h.tokens for h in hs]
