@@ -192,14 +192,13 @@ def _device_health_or_die(timeout_s: int = 600):
         os._exit(3)
 
 
-def main():
-    _device_health_or_die()
+def _main_cfg():
     from kosmosx_tpu.core.config import (KosmosConfig, MagnetoConfig,
                                          ResamplerConfig, VisionConfig)
 
     # max_positions=8194: seq-8192-capable table per the reference's training
     # intent (its 2048-entry table would NaN past ~2046 tokens, SURVEY §2.6.3)
-    main_cfg = KosmosConfig(
+    return KosmosConfig(
         # activation="gelu_fast": the SAME erf-gelu evaluated by a
         # purpose-fit polynomial (max abs err 1.2e-6 over the bf16 domain,
         # exhaustively tested; passes the torch-oracle 1e-4 parity bar) at
@@ -213,16 +212,62 @@ def main():
         vision=VisionConfig(compute_dtype="bfloat16"),
         resampler=ResamplerConfig(compute_dtype="bfloat16"),
     )
-    import jax
 
+
+def main_probe(batch: int):
+    """Measure the MAIN (bf16+flash) number in this process and print
+    ``MAIN <tps> <prefill_ms>``. Run via subprocess from main(): after a
+    RESOURCE_EXHAUSTED the tunnel is wedged for the rest of the process
+    (CLAUDE.md), so the driver-facing main() must never measure in its own
+    process — round 3 lost its official number exactly this way
+    (BENCH_r03.json rc=1 on a transient OOM that an in-process retry could
+    never recover from)."""
     global BATCH
-    try:
-        tps, prefill_ms = _measure(main_cfg, "kosmosx_tpu bf16+flash")
-    except jax.errors.JaxRuntimeError as e:  # HBM quota / tunnel variance only
-        print(f"# batch {BATCH} failed ({type(e).__name__}); retrying batch 2",
-              file=sys.stderr)
-        BATCH = 2
-        tps, prefill_ms = _measure(main_cfg, "kosmosx_tpu bf16+flash b2")
+    BATCH = batch
+    tps, prefill_ms = _measure(_main_cfg(), f"kosmosx_tpu bf16+flash b{batch}")
+    print(f"MAIN {tps} {prefill_ms}")
+
+
+def main():
+    global BATCH
+    _device_health_or_die()
+    import subprocess
+
+    # fresh process per attempt: same batch twice (transient tunnel/HBM
+    # state — the observed failure mode — clears with the process), then a
+    # known-fitting small batch as the last resort
+    tps = prefill_ms = used_batch = None
+    errs = []
+    for nb in (BATCH, BATCH, 2):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--main-probe", str(nb)],
+                capture_output=True, text=True, timeout=2400)
+            if out.stderr:
+                sys.stderr.write(out.stderr)  # pass the probe's notes through
+            for line in out.stdout.splitlines():
+                if line.startswith("MAIN "):
+                    _, t, pm = line.split()
+                    tps, prefill_ms, used_batch = float(t), float(pm), nb
+                    break
+            if tps is None:
+                tail = (out.stderr.strip().splitlines()[-1]
+                        if out.stderr.strip() else "no output")
+                errs.append(f"main b{nb} rc={out.returncode}: {tail[-200:]}")
+        except Exception as e:
+            errs.append(f"main b{nb}: {type(e).__name__}: {e}")
+        if tps is not None:
+            break
+    if tps is None:
+        # rc=0 with an error field: a failed measurement must never turn
+        # into a failed ROUND artifact
+        print(json.dumps({
+            "metric": "images+text tokens/sec/chip (flagship Kosmos)",
+            "value": 0.0, "unit": "tokens/sec/chip", "vs_baseline": 0.0,
+            "error": "; ".join(errs)[-500:]}))
+        return
+    BATCH = used_batch
 
     baseline_tps = None
     baseline_batch = None
@@ -311,5 +356,7 @@ def naive_probe(dtype: str, batch: int):
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--naive-probe":
         naive_probe(sys.argv[2], int(sys.argv[3]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--main-probe":
+        main_probe(int(sys.argv[2]))
     else:
         main()

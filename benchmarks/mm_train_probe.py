@@ -37,6 +37,10 @@ from kosmosx_tpu.train.trainer import TrainConfig, Trainer, kosmos_loss_fn
 
 BATCH = int(os.environ.get("MMT_BATCH", "1"))
 TEXT_LEN = int(os.environ.get("MMT_TEXT", "1984"))  # + 64 image embeds = 2048
+# MMT_FREEZE=1: freeze the CLIP tower (TrainConfig.freeze=("clip",)) — no
+# CLIP grads/backward activations/Lion moments; the round-3 verdict's
+# candidate for unlocking batch 2 (batch 2 unfrozen was 182 MB over HBM)
+FREEZE = os.environ.get("MMT_FREEZE", "") not in ("", "0")
 WARM = 2
 TIMED = 6
 
@@ -57,9 +61,11 @@ def main():
                        optimizer="lion8bit", schedule="constant",
                        total_steps=WARM + TIMED, warmup_steps=1,
                        checkpoint_every=0, log_every=100, prefetch=False,
-                       data=1, fsdp=1, tensor=1)
+                       data=1, fsdp=1, tensor=1,
+                       freeze=("clip",) if FREEZE else ())
     print(f"devices: {jax.devices()}  batch {BATCH} text {TEXT_LEN} "
-          f"(+64 image embeds)", flush=True)
+          f"(+64 image embeds) freeze={'clip' if FREEZE else 'none'}",
+          flush=True)
     trainer = Trainer(
         init_fn=lambda key: init_casted(lambda k: Kosmos.init(k, kcfg),
                                         key, jnp.bfloat16),

@@ -70,6 +70,11 @@ def main(argv=None):
                          "above which decode programs unstack into "
                          "per-layer buffers (None = inherit the model "
                          "default; big value = force the lax.scan path)")
+    ap.add_argument("--kernel-fill", type=float, default=0.0,
+                    help="ServeConfig.decode_kernel_fill: route dispatches "
+                         "whose mean pool fill is below this fraction "
+                         "through the Pallas decode-attention kernel "
+                         "(pools >= 1024 only)")
     ap.add_argument("--fast-attn", action="store_true",
                     help="decode_attn_kernel=True: Pallas single-query "
                          "cache attention (ops/decode_attention.py)")
@@ -160,7 +165,8 @@ def main(argv=None):
                                   spec_gamma=args.spec_gamma,
                                   decode_block=args.decode_block,
                                   prefill_chunk=args.prefill_chunk,
-                                  unroll_min_len=args.unroll_min_len),
+                                  unroll_min_len=args.unroll_min_len,
+                                  decode_kernel_fill=args.kernel_fill),
                       SamplingConfig(greedy=True),
                       kosmos_cfg=kcfg,
                       draft_params=draft_params, draft_cfg=draft_cfg)

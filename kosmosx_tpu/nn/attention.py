@@ -412,7 +412,8 @@ def self_attention(params, x, *, heads: int, subln: bool = True,
                                 block_q=flash_block_q, block_kv=flash_block_kv,
                                 interpret=interpret)
         elif (decode_attn_kernel and l == 1 and shared_kv is None
-              and cache["k"].shape[2] % 8 == 0):
+              and cache["k"].shape[2] % 8 == 0
+              and cache["k"].shape[3] % 8 == 0):
             # Pallas single-query kernel: VPU cache streaming + DMA skip past
             # kv_len (ops/decode_attention.py). At L=1 the causal mask is
             # subsumed by the kv_len mask (every cached slot holds a

@@ -210,6 +210,10 @@ def decode_attention(q, k, v, kv_len, *, k_scale=None, v_scale=None,
     b, h, lq, hd = q.shape
     if lq != 1:
         raise ValueError(f"decode_attention is single-query; got Lq={lq}")
+    if hd % 8:
+        # the (8,128) VMEM tile rule on the sublane axis: interpret mode
+        # would pass but Mosaic compilation fails mid-serving on the chip
+        raise ValueError(f"head_dim {hd} must be a multiple of 8")
     s_len = k.shape[2]
     bs = min(block_s, s_len)
     # VMEM: K+V double-buffered bf16 tiles (2*2*2 B/elem) plus the kernel's
@@ -218,11 +222,15 @@ def decode_attention(q, k, v, kv_len, *, k_scale=None, v_scale=None,
     # the 16 MB scoped limit; bf16 S=512 auto-shrinks to 256 under this)
     while h * bs * hd * (2 * 2 * 2 + 3 * 4) > 14 * 1024 * 1024 and bs > 8:
         bs //= 2
-    while s_len % bs:
-        bs //= 2
-    if bs % 8:
-        raise ValueError(f"cache length {s_len} leaves a non-tileable "
-                         f"block {bs}; pad the cache to a multiple of 8")
+    # largest multiple-of-8 divisor of s_len <= bs (NOT repeated halving:
+    # s_len = 8*odd just above a power of two, e.g. 1040, would collapse
+    # all the way to block 8 — ~64x more grid steps for nothing)
+    bs -= bs % 8
+    while bs > 8 and s_len % bs:
+        bs -= 8
+    if bs < 8 or s_len % bs:
+        raise ValueError(f"cache length {s_len} is not a multiple of 8; "
+                         f"pad the cache (the (8,128) VMEM tile rule)")
     ks3 = k_scale.reshape(b, h, s_len) if k_scale is not None else None
     vs3 = v_scale.reshape(b, h, s_len) if v_scale is not None else None
     out = _decode_attention_4d(q, k, v, kv_len, ks3, vs3,

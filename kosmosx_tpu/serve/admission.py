@@ -430,6 +430,14 @@ class AdmissionMixin:
         self._reset_center(slot)  # fresh caches are prefilled at center 0
         p = self.scfg.max_prompt_len
         praw = np.asarray(req.prompt, np.int32)  # submit() normalized it
+        # true prefill length (prompt tokens + image embeds), host-side:
+        # _maybe_recenter's exact position accounting (same n_img formula
+        # as submit()'s kv_window bound)
+        n_img = 0
+        if req.images is not None:
+            n_img = req.images.shape[0] if req.images.ndim == 4 else 1
+        self._prefill_host[slot] = len(praw) + n_img * (
+            self.kcfg.image_embed_len if self.kcfg is not None else 0)
         s_idx = self.kcfg.splice_index if self.kcfg is not None else 0
         # per-slot LoRA adapter (cleared to zeros when the request has none)
         self._set_slot_adapter(slot, req.adapter)

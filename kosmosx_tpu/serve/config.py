@@ -84,6 +84,18 @@ class ServeConfig:
     # answer to shared system prompts / few-shot headers. Greedy outputs
     # are identical to full prefill (same cache contents, same positions).
     prefix_cache_size: int = 8
+    # Pool-fill-adaptive decode-attention kernel: when > 0, a decode
+    # dispatch whose mean active-slot cache fill (valid positions /
+    # cache_len) is at or below this fraction routes through a
+    # MagnetoConfig.decode_attn_kernel=True variant — the Pallas
+    # single-query kernel's ONLY winning regime is long pools at low fill
+    # (BASELINE.md decode S-sweep: its scalar-prefetch DMA skip wins at
+    # S=2048 half-valid, 0.280 vs 0.290 ms; it loses everywhere at full
+    # validity, ~300 vs ~550 GB/s), so the engine checks the host-known
+    # fill before every dispatch and picks per dispatch. Pools shorter
+    # than 1024 never use the kernel (fixed overheads dominate below
+    # that). At most one extra decode program compiles. 0 = off.
+    decode_kernel_fill: float = 0.0
     # Serving-side override of MagnetoConfig.decode_unroll_min_len (None =
     # inherit). The engine picks its pool's RESIDENT layout once at
     # construction (ServeEngine._pool_layout): per-layer list buffers when
@@ -229,7 +241,14 @@ def check_engine_modes(cfg, scfg: ServeConfig, draft_cfg=None,
             # mirror generate/sampler.py's reach guard: with per-slot xPos
             # re-centering (ServeEngine._maybe_recenter) the largest
             # |pos - center| ever rotated or cached is bounded by the
-            # window (host position over-estimate) + the recenter interval
+            # prompt (<= window, enforced by submit) + the recenter
+            # interval. INTENDED: this rejects at construction even
+            # engines that would only ever serve shared-prefix traffic
+            # (where a registered shared segment disables re-centering and
+            # submit() bounds each request instead) — re-centering
+            # capability is a constructor-level contract, never a
+            # mid-flight discovery; shared-prefix-only deployments should
+            # raise xpos_scale_base or shrink kv_window the same way.
             from kosmosx_tpu.nn.xpos import xpos_position_bound
             bound = xpos_position_bound(cfg.xpos_scale_base)
             reach = cfg.kv_window + 8 * cfg.xpos_scale_base

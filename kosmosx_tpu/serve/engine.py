@@ -127,6 +127,7 @@ class ServeEngine(AdmissionMixin):
         self.pending: deque[Request] = deque()
         self._inflight: deque = deque()  # (nxt tokens on device, slot snapshot)
         self._dispatched = [0] * b       # decode tokens dispatched per slot
+        self._prefill_host = [0] * b     # true prefill len (tokens + embeds)
         self._active_key = None          # active_list at last mask rebuild
         self._active_dev = None          # device copy of the slot-occupancy
         self._next_id = 0                # mask (rebuilt only when it changes)
@@ -185,6 +186,11 @@ class ServeEngine(AdmissionMixin):
         self._live_params = None     # dec_params + slot_lora graft (cached)
         # blocked decode (ServeConfig.decode_block)
         self.block = max(int(self.scfg.decode_block), 0)
+        # fill-adaptive decode-attention kernel (ServeConfig.
+        # decode_kernel_fill): the alternate cfg the low-fill dispatches
+        # run under; hashes distinctly so at most one extra decode program
+        self._cfg_kernel = (dataclasses.replace(cfg, decode_attn_kernel=True)
+                            if self.scfg.decode_kernel_fill > 0 else None)
         # chunked prefill (ServeConfig.prefill_chunk)
         self.chunked = self.scfg.prefill_chunk > 0
         if self.chunked:
@@ -209,21 +215,28 @@ class ServeEngine(AdmissionMixin):
     def _maybe_recenter(self, active_list):
         """Slide due slots' xPos centers forward (rolling-window serving).
 
-        Host-side position estimate: a slot's absolute write position is
-        prompt_len + dispatched <= kv_window + dispatched (admission enforces
-        prompt + image embeds <= kv_window), so the upper bound errs early by
-        at most one window — harmless against the 8*scale_base interval and
-        it keeps |pos - center| small either way. The pooled rescale
-        (_recenter_pool_jit) is one donated cache rewrite per event, i.e.
-        once per ~4k generated tokens per slot."""
+        A slot's absolute write position is exactly
+        ``_prefill_host[slot] + _dispatched[slot]`` — both known host-side
+        (admission records the true prompt-token + image-embed count). The
+        pooled rescale (_recenter_pool_jit) is one donated cache rewrite
+        per event, i.e. once per ~4k generated tokens per slot."""
         if self._center is None or self.shared_seg is not None:
             return
         every = 8 * self.cfg.xpos_scale_base
-        pos = [self.cfg.kv_window + d for d in self._dispatched]
+        pos = [p + d for p, d in zip(self._prefill_host, self._dispatched)]
         due = [a and pos[i] - self._center_host[i] >= every
                for i, a in enumerate(active_list)]
         if not any(due):
             return
+        # the construction-time reach contract (check_engine_modes):
+        # |pos - center| never exceeds window (prompt bound) + interval,
+        # plus the dispatch granularity (blocked decode advances `block`
+        # positions between due checks)
+        slack = self.cfg.kv_window + every + max(self.block, 1) - 1
+        for i, d in enumerate(due):
+            if d:
+                assert pos[i] - self._center_host[i] <= slack, \
+                    (pos[i], self._center_host[i], self.cfg.kv_window, every)
         new = [pos[i] if d else self._center_host[i]
                for i, d in enumerate(due)]
         delta = jnp.asarray(
@@ -263,6 +276,27 @@ class ServeEngine(AdmissionMixin):
             return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
 
         return jax.tree_util.tree_map(put, caches)
+
+    def _decode_cfg(self, active_list):
+        """Per-dispatch decode-attention kernel selection
+        (ServeConfig.decode_kernel_fill): route this dispatch through the
+        Pallas single-query kernel only in its one winning regime — a long
+        pool (>= 1024) whose active slots are mostly empty, where the
+        kernel's DMA skip past each row's kv_len beats XLA's full-cache
+        einsum read (BASELINE.md decode S-sweep). The fill estimate is
+        exact and host-side (_prefill_host + _dispatched). Shared-prefix
+        dispatches keep the einsum path (the kernel doesn't take a shared
+        segment)."""
+        if (self._cfg_kernel is None or self.shared_seg is not None
+                or self.cache_len < 1024):
+            return self.cfg
+        pos = [min(self._prefill_host[i] + self._dispatched[i],
+                   self.cache_len)
+               for i, a in enumerate(active_list) if a]
+        if not pos or (sum(pos) / (len(pos) * self.cache_len)
+                       > self.scfg.decode_kernel_fill):
+            return self.cfg
+        return self._cfg_kernel
 
     # -- the decode loop -----------------------------------------------------
 
@@ -325,7 +359,8 @@ class ServeEngine(AdmissionMixin):
                 emit, emit_lp, self.last, self.caches, self.index = \
                     _decode_block_jit(
                     self._pool_params(), self.last, self.caches, self.index,
-                    active, self._fold(), self.cfg, self.sampling,
+                    active, self._fold(), self._decode_cfg(active_list),
+                    self.sampling,
                     self.block, pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
                     shared=self._shared(), rows=self._rows(),
@@ -334,7 +369,8 @@ class ServeEngine(AdmissionMixin):
             else:
                 nxt, nlp, self.caches, self.index = _decode_step_jit(
                     self._pool_params(), self.last, self.caches, self.index,
-                    active, self._fold(), self.cfg, self.sampling,
+                    active, self._fold(), self._decode_cfg(active_list),
+                    self.sampling,
                     pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
                     shared=self._shared(), rows=self._rows(),

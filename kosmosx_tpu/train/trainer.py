@@ -74,6 +74,17 @@ class TrainConfig:
     # (reference train.py:688-695 final_model.pt); off by default so library
     # callers don't write to disk unasked — the CLI turns it on
     final_save: bool = False
+    # Frozen TOP-LEVEL param subtrees (e.g. ("clip",) for Kosmos training
+    # with a frozen vision tower — the reference composes pretrained
+    # encoder towers as frozen feature extractors). Frozen subtrees are
+    # excluded from differentiation (JAX then saves no backward
+    # activations through them) AND from the optimizer (no moments), so
+    # freezing CLIP reclaims both its Lion state and its backward memory
+    # — the two items that held multimodal training at batch 1
+    # (BASELINE.md mm-train row: batch 2 was 182 MB short). Frozen leaves
+    # pass through the train step bit-identical; checkpoints keep the
+    # full param tree (opt_state shrinks to the trainable subtree).
+    freeze: tuple = ()
     # mesh
     data: int = -1
     fsdp: int = 1
@@ -91,17 +102,42 @@ class TrainState(dict):
                 "step": jnp.zeros([], jnp.int32), "rng": rng}
 
 
-def make_train_step(loss_fn: Callable, optimizer) -> Callable:
+def split_frozen(params, freeze):
+    """Partition a top-level param dict into (trainable, frozen) by key.
+    Dict pytrees flatten in sorted key order, so re-merging ``{**t, **f}``
+    reproduces the original structure exactly."""
+    frozen = {k: params[k] for k in freeze if k in params}
+    trainable = {k: v for k, v in params.items() if k not in frozen}
+    return trainable, frozen
+
+
+def make_train_step(loss_fn: Callable, optimizer,
+                    freeze: tuple = ()) -> Callable:
     """loss_fn(params, batch, rng) -> (loss, metrics). Returns
-    step(state, batch) -> (state, metrics)."""
+    step(state, batch) -> (state, metrics). ``freeze``: top-level param
+    keys excluded from differentiation and optimizer state (their leaves
+    pass through unchanged; ``grad_norm`` covers trainable params only)."""
 
     def train_step(state, batch):
         rng, new_rng = jax.random.split(state["rng"])
+        trainable, frozen = split_frozen(state["params"], freeze) \
+            if freeze else (state["params"], None)
+        if frozen:
+            # differentiate ONLY the trainable subtree: JAX never builds
+            # the frozen towers' backward, so their activations are not
+            # saved — this, not just the dropped moments, is the memory win
+            def loss_of(tr):
+                return loss_fn({**tr, **frozen}, batch, rng)
+        else:
+            def loss_of(tr):
+                return loss_fn(tr, batch, rng)
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state["params"], batch, rng)
+            loss_of, has_aux=True)(trainable)
         updates, new_opt = optimizer.update(grads, state["opt_state"],
-                                            state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
+                                            trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_params = ({**new_trainable, **frozen} if frozen
+                      else new_trainable)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = {"params": new_params, "opt_state": new_opt,
@@ -196,10 +232,23 @@ class Trainer:
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
 
+        if cfg.freeze:
+            shape = jax.eval_shape(self._init_fn, key) \
+                if initial_params is None else initial_params
+            if not isinstance(shape, dict):
+                raise ValueError("TrainConfig.freeze needs a top-level "
+                                 "param dict")
+            missing = [k for k in cfg.freeze if k not in shape]
+            if missing:
+                raise ValueError(f"freeze keys {missing} not in params "
+                                 f"(have {sorted(shape)})")
+
         if initial_params is None:
             def build(key):
                 params = self._init_fn(key)
-                opt_state = self.optimizer.init(params)
+                opt_state = self.optimizer.init(
+                    split_frozen(params, cfg.freeze)[0] if cfg.freeze
+                    else params)
                 return TrainState.create(params, opt_state, key)
 
             abstract = jax.eval_shape(build, key)
@@ -211,7 +260,9 @@ class Trainer:
             return self.state
 
         def build_from(params, key):
-            opt_state = self.optimizer.init(params)
+            opt_state = self.optimizer.init(
+                split_frozen(params, cfg.freeze)[0] if cfg.freeze
+                else params)
             return TrainState.create(params, opt_state, key)
 
         abstract = jax.eval_shape(build_from, initial_params, key)
@@ -254,7 +305,8 @@ class Trainer:
 
     # -- step ---------------------------------------------------------------
     def _build_step(self):
-        step = make_train_step(self._loss_fn, self.optimizer)
+        step = make_train_step(self._loss_fn, self.optimizer,
+                               freeze=self.cfg.freeze)
         self._step_fn = jax.jit(
             step,
             in_shardings=(self.state_shardings, None),

@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vision-layers", type=int, default=24)
     p.add_argument("--vision-heads", type=int, default=16)
     p.add_argument("--vision-mlp-dim", type=int, default=4096)
+    p.add_argument("--freeze-vision", action="store_true",
+                   help="freeze the CLIP tower (kosmos model only): no "
+                        "grads, no backward activations, no optimizer "
+                        "moments for it — the reference composes "
+                        "pretrained encoder towers as frozen feature "
+                        "extractors; reclaims ~1.5 GB on the flagship")
     p.add_argument("--resampler-depth", type=int, default=2)
     p.add_argument("--latents", type=int, default=64,
                    help="resampler latents = image embed length")
@@ -194,7 +200,8 @@ def main(argv=None):
         output_dir=args.output_dir, resume=args.resume,
         final_save=not args.no_final_save,
         data=args.data, fsdp=args.fsdp, tensor=args.tensor,
-        expert=args.expert)
+        expert=args.expert,
+        freeze=("clip",) if args.freeze_vision else ())
 
     if args.model == "language":
         from kosmosx_tpu.nn import decoder as dec

@@ -94,10 +94,11 @@ def test_kernel_rejects_multi_query():
 
 def _tiny_cfg(**kw):
     from kosmosx_tpu.core.config import MagnetoConfig
+    kw.setdefault("scan_layers", False)
     return MagnetoConfig(layers=2, embed_dim=64, ffn_dim=128, heads=2,
                          vocab_size=97, max_positions=128,
                          dropout=0.0, attention_dropout=0.0,
-                         use_flash_attention=False, scan_layers=False,
+                         use_flash_attention=False,
                          multiway=False, **kw)
 
 
@@ -119,6 +120,42 @@ def test_generate_matches_einsum_path(kv8):
     ref = generate_text(params, base, prompt, s, interpret=True)
     out = generate_text(params, fast, prompt, s, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_engine_fill_heuristic_matches_plain():
+    """ServeConfig.decode_kernel_fill: low-fill dispatches on a long pool
+    route through the Pallas kernel cfg, high-fill dispatches fall back to
+    the einsum path, and greedy outputs equal the plain engine's."""
+    from kosmosx_tpu.generate import SamplingConfig
+    from kosmosx_tpu.nn import decoder as dec
+    from kosmosx_tpu.serve import ServeConfig, ServeEngine
+
+    base = _tiny_cfg(scan_layers=True)
+    params = dec.init_decoder(jax.random.PRNGKey(0), base)
+    scfg = ServeConfig(max_batch=2, max_prompt_len=16, max_len=1024)
+    plain = ServeEngine(params, base, scfg, SamplingConfig(greedy=True))
+    auto = ServeEngine(params, base,
+                       dataclasses.replace(scfg, decode_kernel_fill=0.5),
+                       SamplingConfig(greedy=True), interpret=True)
+    # fresh slots sit far below 50% fill of the 1024 pool: kernel selected
+    assert auto._decode_cfg([True, False]).decode_attn_kernel
+    # a pool past the threshold falls back to the einsum cfg
+    auto._dispatched[0] = 900
+    assert not auto._decode_cfg([True, False]).decode_attn_kernel
+    auto._dispatched[0] = 0
+    # a short pool never uses the kernel regardless of fill
+    short = ServeEngine(params, base,
+                        dataclasses.replace(scfg, max_len=256,
+                                            decode_kernel_fill=0.5),
+                        SamplingConfig(greedy=True), interpret=True)
+    assert not short._decode_cfg([True, False]).decode_attn_kernel
+    prompts = ([5, 9, 2, 44], [7, 3])
+    outs = []
+    for eng in (plain, auto):
+        hs = [eng.submit(list(p), max_new_tokens=8) for p in prompts]
+        eng.run()
+        outs.append([h.tokens for h in hs])
+    assert outs[0] == outs[1]
 
 
 def test_generate_kv_window_matches_einsum_path():

@@ -253,6 +253,44 @@ def test_train_cli_end_to_end(tmp_path):
     assert (out_dir / "step_4").exists()  # reference checkpoints/step_{n}
 
 
+def test_freeze_subtree(devices):
+    """TrainConfig.freeze: frozen top-level subtrees pass through training
+    bit-identical, get no optimizer state, and the rest still trains (the
+    reference composes pretrained encoder towers as frozen feature
+    extractors — the flagship use is freeze=('clip',))."""
+    cfg = TrainConfig(batch_size=4, seq_len=16, total_steps=4,
+                      learning_rate=1e-2, optimizer="adamw",
+                      schedule="constant", checkpoint_every=0, log_every=100,
+                      data=2, fsdp=2, tensor=2, freeze=("embed",))
+    trainer = Trainer(init_fn=lambda k: dec.init_decoder(k, CFG),
+                      loss_fn=lm_loss_fn(CFG), cfg=cfg)
+    # snapshot the trainer's OWN initial params (the jitted sharded init is
+    # not bit-identical to an eager init with the same key)
+    state0 = trainer.init_state()
+    embed0 = np.asarray(state0["params"]["embed"]["table"]).copy()
+    out0 = np.asarray(state0["params"]["out_proj"]["w"]).copy()
+    state, _ = trainer.run(synthetic_text_batches(
+        batch_size=4, seq_len=16, vocab_size=CFG.vocab_size, steps=4),
+        steps=4)
+    # frozen subtree: bit-identical; trainable subtree: moved
+    np.testing.assert_array_equal(np.asarray(state["params"]["embed"]["table"]),
+                                  embed0)
+    assert not np.allclose(np.asarray(state["params"]["out_proj"]["w"]), out0)
+    # optimizer state holds ONLY the trainable subtree (no frozen moments)
+    leaves = jax.tree_util.tree_leaves_with_path(state["opt_state"])
+    assert not any("embed" in jax.tree_util.keystr(p) for p, _ in leaves)
+    assert any("out_proj" in jax.tree_util.keystr(p) for p, _ in leaves)
+    # unknown freeze keys fail loudly at construction time
+    bad = TrainConfig(batch_size=4, seq_len=16, total_steps=1,
+                      learning_rate=1e-2, optimizer="adamw",
+                      schedule="constant", checkpoint_every=0, log_every=100,
+                      data=2, fsdp=2, tensor=2, freeze=("nope",))
+    t2 = Trainer(init_fn=lambda k: dec.init_decoder(k, CFG),
+                 loss_fn=lm_loss_fn(CFG), cfg=bad)
+    with pytest.raises(ValueError, match="freeze keys"):
+        t2.init_state()
+
+
 def test_trainer_eval_loop():
     """cfg.eval_every runs a forward-only validation pass whose metrics
     merge into the log line and whose execution leaves training untouched."""
