@@ -70,6 +70,10 @@ def main(argv=None):
                          "above which decode programs unstack into "
                          "per-layer buffers (None = inherit the model "
                          "default; big value = force the lax.scan path)")
+    ap.add_argument("--max-len", type=int, default=0,
+                    help="force a larger KV pool than the derived "
+                         "prompt+new+overrun size (e.g. 2048 to measure "
+                         "--kernel-fill in its low-fill long-pool regime)")
     ap.add_argument("--kernel-fill", type=float, default=0.0,
                     help="ServeConfig.decode_kernel_fill: route dispatches "
                          "whose mean pool fill is below this fraction "
@@ -157,6 +161,11 @@ def main(argv=None):
     if args.kv_window:
         # ring pool: cache sized at the window regardless of budgets
         max_len = max(args.kv_window, args.prompt_len)
+    if args.max_len:
+        # explicit pool override — e.g. a LONG low-fill pool, the
+        # decode_kernel_fill regime (short requests never reach the far
+        # end; the kernel's DMA skip avoids reading it)
+        max_len = max(max_len, args.max_len)
     eng = ServeEngine(params, cfg,
                       ServeConfig(max_batch=args.slots,
                                   max_prompt_len=args.prompt_len,

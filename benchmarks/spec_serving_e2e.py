@@ -41,10 +41,10 @@ def main(argv=None):
     ap.add_argument("--distill-steps", type=int, default=400)
     ap.add_argument("--distill-batch", type=int, default=8)
     ap.add_argument("--distill-seq", type=int, default=256)
-    ap.add_argument("--target-cache", default="/tmp/spec_e2e_target.npz",
+    ap.add_argument("--target-cache", default="checkpoints/spec_e2e_target.npz",
                     help="save/load the pretrained target here (skips the "
                          "pretrain phase when present)")
-    ap.add_argument("--draft-cache", default="/tmp/spec_e2e_draft.npz",
+    ap.add_argument("--draft-cache", default="checkpoints/spec_e2e_draft.npz",
                     help="save/load the distilled draft here (skips the "
                          "distill phase when present)")
     ap.add_argument("--kv8", action="store_true",
@@ -102,6 +102,11 @@ def main(argv=None):
 
     flat_paths = [".".join(str(getattr(p, "key", p)) for p in path)
                   for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    # caches live in the repo's checkpoints/ (gitignored), not /tmp:
+    # round 3's record became unreproducible when /tmp was wiped
+    for c in (args.target_cache, args.draft_cache):
+        if c and os.path.dirname(c):
+            os.makedirs(os.path.dirname(c), exist_ok=True)
     if args.target_cache and os.path.exists(args.target_cache):
         loaded = np.load(args.target_cache)
         leaves = [jnp.asarray(loaded[k]).astype(l.dtype) for k, l in

@@ -93,7 +93,21 @@ class ByteTokenizer:
 
 
 def _try_hf_tokenizer(name: str, extra_ids: int, model_max_length: int):
+    """Resolve ``name`` to a HF tokenizer. Accepts, in order:
+
+    - a LOCAL ``tokenizer.json`` file (the artifact the reference's
+      GPT-NeoX-20B tokenizer ships as) -> PreTrainedTokenizerFast;
+    - a LOCAL directory holding tokenizer files -> AutoTokenizer;
+    - a hub name -> AutoTokenizer (fails under zero egress -> byte fallback).
+    """
+    import os
+
     try:
+        if os.path.isfile(name) and name.endswith(".json"):
+            from transformers import PreTrainedTokenizerFast
+
+            return PreTrainedTokenizerFast(
+                tokenizer_file=name, model_max_length=model_max_length)
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(

@@ -75,7 +75,13 @@ def main():
     src.add_argument("--clip",
                      help="laion CLIP checkpoint file/dir; grafted into a "
                           "fresh seeded Kosmos init")
-    ap.add_argument("--out", required=True, help="orbax params dir to write")
+    src.add_argument("--tokenizer",
+                     help="tokenizer artifact (tokenizer.json file or HF "
+                          "tokenizer dir, e.g. the reference's "
+                          "GPT-NeoX-20B vocab); validated against the "
+                          "flagship config and round-tripped — no --out "
+                          "needed")
+    ap.add_argument("--out", help="orbax params dir to write")
     ap.add_argument("--scan-layers", action="store_true",
                     help="emit the stacked (L, ...) scan layout "
                          "(what bench.py / the serving engine use)")
@@ -92,6 +98,38 @@ def main():
 
     build = _flagship if args.config == "flagship" else _tiny_test
     cfg = build(args.scan_layers, args.dtype)
+
+    if args.tokenizer:
+        from kosmosx_tpu.data.tokenizer import KosmosTokenizer
+        tok = KosmosTokenizer(tokenizer_name=args.tokenizer)
+        if tok.hf is None:
+            print(f"FAILED: {args.tokenizer!r} did not load as an HF "
+                  f"tokenizer (byte fallback engaged)", file=sys.stderr)
+            sys.exit(1)
+        # the reference trains with vocab 32002 = NeoX base + <image> +
+        # </image> (SURVEY.md §2.6.2); the decoder embedding must cover
+        # every id this artifact can emit
+        ok = tok.vocab_size <= cfg.decoder.vocab_size
+        sample = "a photo of a cat"
+        spliced, raw = tok.tokenize_texts([sample])
+        print(f"tokenizer loaded: vocab {tok.vocab_size} "
+              f"(decoder table {cfg.decoder.vocab_size}, "
+              f"{'fits' if ok else 'OVERFLOWS'}), "
+              f"bos={tok.bos_token_id} eos={tok.eos_token_id} "
+              f"pad={tok.pad_token_id} "
+              f"image tags=({tok.im_idx}, {tok.im_end_idx})")
+        print(f"splice: {sample!r} -> {spliced[0][:12].tolist()}... "
+              f"(raw {raw[0][:8].tolist()}...)")
+        if not ok:
+            print("FAILED: artifact vocab overflows the decoder embedding "
+                  "table; retrain or widen MagnetoConfig.vocab_size",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"use: KosmosTokenizer(tokenizer_name={args.tokenizer!r})")
+        return
+
+    if not args.out:
+        ap.error("--out is required with --final-model/--clip")
 
     if args.final_model:
         from kosmosx_tpu.utils.ref_checkpoint import load_reference_checkpoint

@@ -43,6 +43,22 @@ if _cache_dir:
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_accumulation():
+    """Free compiled executables at module boundaries.
+
+    The full fast tier accumulates ~190 XLA:CPU compiles in one process;
+    at HEAD of round 3 that deterministically SIGSEGVed inside
+    backend_compile_and_load (the ORC-JIT load step) two tests into
+    test_serve_matrix — reproducibly at the same position, while the same
+    file alone passes. Dropping executable references between modules
+    bounds the live JIT code regions; within-module sharing (the expensive
+    kind — engines reusing decode programs) is untouched. Costs only
+    cross-module recompiles of identical signatures, which are rare."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def devices():
     devs = jax.devices()
