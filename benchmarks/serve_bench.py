@@ -252,6 +252,11 @@ def main(argv=None):
         if steps == 4:  # let the pool warm up before counting
             tokens_before = _total_tokens(handles)
             t0 = time.perf_counter()
+            # steady-state anatomy: drop warmup/compile phases from the
+            # per-phase counters too (they are reported per counted step)
+            for k in eng.phase_s:
+                eng.phase_s[k] = 0.0
+            steps_before = steps
         while pending and eng.num_active < args.slots:
             p, im = pending.pop()
             handles.append(eng.submit(p, max_new_tokens=args.new_tokens,
@@ -267,6 +272,15 @@ def main(argv=None):
     tps = total / dt
     print(f"# serve: {total} tokens in {dt:.2f}s over {steps} steps; "
           f"admission {admit_s * 1000:.1f} ms", file=sys.stderr)
+    # host-loop anatomy (cumulative per-phase wall time / step count):
+    # attributes each ms of a serving step to admit / prep / fold /
+    # dispatch-enqueue / post / drain — the serving loop is host-sensitive
+    # on a remote chip, so slow rows need attribution, not guesses
+    n_anat = max(steps - locals().get("steps_before", 0), 1)
+    anat = {k: round(v / n_anat * 1e3, 2) for k, v in eng.phase_s.items()}
+    anat["total"] = round(sum(eng.phase_s.values()) / n_anat * 1e3, 2)
+    print(f"# anatomy ms/step (over {n_anat} steady-state steps): {anat}",
+          file=sys.stderr)
     if args.spec_gamma:
         g = args.spec_gamma
         acc = (eng.accepted_total / max(eng.emitted_total, 1))

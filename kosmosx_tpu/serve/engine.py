@@ -193,6 +193,16 @@ class ServeEngine(AdmissionMixin):
                             if self.scfg.decode_kernel_fill > 0 else None)
         # chunked prefill (ServeConfig.prefill_chunk)
         self.chunked = self.scfg.prefill_chunk > 0
+        # host-loop anatomy: cumulative wall time per step() phase (seconds).
+        # Serving throughput on a remote chip is host-LOOP sensitive; these
+        # six counters split each step into admit / prep (active mask +
+        # recenter) / rng fold / device dispatch (enqueue) / post (async-copy
+        # start + bookkeeping) / drain (blocking token reads) so a slow row
+        # in the serving table can be attributed instead of guessed at
+        # (benchmarks/serve_bench.py --anatomy prints them).
+        self.phase_s = {k: 0.0 for k in
+                        ("admit", "prep", "fold", "dispatch", "post",
+                         "drain")}
         if self.chunked:
             import numpy as _np
             self._prompt_rows = _np.full(
@@ -304,11 +314,15 @@ class ServeEngine(AdmissionMixin):
         """Admit pending requests into free slots, advance every active slot
         one token, and read back tokens (``sync_lag`` steps behind the
         device). Returns False when there is nothing left to do."""
+        from time import perf_counter as _pc
+        t0 = _pc()
         for slot in range(self.scfg.max_batch):
             if self.slots[slot] is None and self.pending:
                 self._admit(slot, self.pending.popleft())
         if self.chunked and any(p >= 0 for p in self._pf_pos):
             self._advance_prefill()
+        t1 = _pc()
+        self.phase_s["admit"] += t1 - t0
         # budget clamp: the host KNOWS each request's max_new_tokens at
         # submit time, so a slot whose dispatched-token count has reached
         # its budget is excluded from `active` immediately — without this,
@@ -330,6 +344,11 @@ class ServeEngine(AdmissionMixin):
                 self._active_dev = jnp.asarray(active_list, bool)
                 self._active_key = key
             active = self._active_dev
+            t2 = _pc()
+            self.phase_s["prep"] += t2 - t1
+            rng_sub = self._fold()
+            t1 = _pc()
+            self.phase_s["fold"] += t1 - t2
             if self.spec and self.block > 1:
                 emit, emit_lp, n_emit, self.last, self.caches, \
                     self.draft_caches, \
@@ -337,7 +356,7 @@ class ServeEngine(AdmissionMixin):
                         self.dec_params, self.draft_params, self.last,
                         self.caches, self.draft_caches, self.index,
                         self.index_d, active,
-                        self._fold(), self.cfg, self.draft_cfg,
+                        rng_sub, self.cfg, self.draft_cfg,
                         self.sampling, self.scfg.spec_gamma, self.block,
                         pad_id=self.scfg.pad_id,
                         double_scale=self.double_scale,
@@ -349,7 +368,7 @@ class ServeEngine(AdmissionMixin):
                         self.dec_params, self.draft_params, self.last,
                         self.caches, self.draft_caches, self.index,
                         self.index_d, active,
-                        self._fold(), self.cfg, self.draft_cfg,
+                        rng_sub, self.cfg, self.draft_cfg,
                         self.sampling, self.scfg.spec_gamma,
                         pad_id=self.scfg.pad_id,
                         double_scale=self.double_scale,
@@ -359,7 +378,7 @@ class ServeEngine(AdmissionMixin):
                 emit, emit_lp, self.last, self.caches, self.index = \
                     _decode_block_jit(
                     self._pool_params(), self.last, self.caches, self.index,
-                    active, self._fold(), self._decode_cfg(active_list),
+                    active, rng_sub, self._decode_cfg(active_list),
                     self.sampling,
                     self.block, pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
@@ -369,7 +388,7 @@ class ServeEngine(AdmissionMixin):
             else:
                 nxt, nlp, self.caches, self.index = _decode_step_jit(
                     self._pool_params(), self.last, self.caches, self.index,
-                    active, self._fold(), self._decode_cfg(active_list),
+                    active, rng_sub, self._decode_cfg(active_list),
                     self.sampling,
                     pad_id=self.scfg.pad_id,
                     double_scale=self.double_scale,
@@ -386,6 +405,9 @@ class ServeEngine(AdmissionMixin):
                 emit_lp = nlp[:, None]
                 n_emit = [1 if a else 0 for a in active_list]
             self.steps += 1
+            t2 = _pc()
+            self.phase_s["dispatch"] += t2 - t1
+            t1 = t2
             if not self.spec:
                 for i, n in enumerate(n_emit):
                     self._dispatched[i] += n
@@ -397,12 +419,16 @@ class ServeEngine(AdmissionMixin):
             except AttributeError:  # backend without async copies
                 pass
             self._inflight.append((emit, emit_lp, n_emit, list(self.slots)))
+            t2 = _pc()
+            self.phase_s["post"] += t2 - t1
+            t1 = t2
         # with DISPATCHING slots, keep up to sync_lag reads outstanding;
         # once nothing dispatched this step (pool idle, or every occupied
         # slot budget-clamped awaiting its drain), drain everything
         while len(self._inflight) > (self.scfg.sync_lag
                                      if any(active_list) else 0):
             self._drain_one()
+        self.phase_s["drain"] += _pc() - t1
         return (self.num_active > 0 or bool(self.pending)
                 or bool(self._inflight))
 
