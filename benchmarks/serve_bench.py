@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--sync-lag", type=int, default=0,
                     help="host token reads lag K decode steps (pipelines "
                          "the device->host RTT behind compute)")
+    ap.add_argument("--drain-batch", type=int, default=1,
+                    help="read back K steps' tokens in ONE batched "
+                         "device_get (1 link RTT per K steps instead of "
+                         "per step); EOS lags sync_lag+K steps")
     ap.add_argument("--spec-gamma", type=int, default=0,
                     help="speculative serving: draft proposes K tokens per "
                          "engine step (needs --draft-layers)")
@@ -151,6 +155,7 @@ def main(argv=None):
                                    jax.random.PRNGKey(7), cfg.dtype)
     extra = kcfg.image_embed_len if kcfg is not None else 0
     window_cfg = ServeConfig(sync_lag=args.sync_lag,
+                             drain_batch=args.drain_batch,
                              spec_gamma=args.spec_gamma,
                              decode_block=args.decode_block)
     # shared-prefix attention keeps the prefix OUT of per-slot caches
@@ -171,6 +176,7 @@ def main(argv=None):
                                   max_prompt_len=args.prompt_len,
                                   max_len=max_len,
                                   sync_lag=args.sync_lag,
+                                  drain_batch=args.drain_batch,
                                   spec_gamma=args.spec_gamma,
                                   decode_block=args.decode_block,
                                   prefill_chunk=args.prefill_chunk,
@@ -297,6 +303,7 @@ def main(argv=None):
                   f"continuous batching{', w8' if args.w8 else ''}"
                   f"{', kv8' if args.kv8 else ''}"
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
+                  f"{f', drain_batch={args.drain_batch}' if args.drain_batch > 1 else ''}"
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
                   f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''}"
                   f"{f', decode_block={args.decode_block}' if args.decode_block else ''}"

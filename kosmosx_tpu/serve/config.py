@@ -34,6 +34,17 @@ class ServeConfig:
     # link (measured: ~36 ms fetch vs ~9 ms compute) this takes the step
     # from RTT-bound to compute-bound.
     sync_lag: int = 0
+    # Drain batching: read back K steps' tokens in ONE batched device_get
+    # instead of one fetch per step. On the axon tunnel a batched get of
+    # 1..16 tiny buffers costs the same ~30 ms link RTT (measured flat),
+    # so K-batching divides the per-step fetch cost by K where deeper
+    # sync_lag cannot (more outstanding per-step fetches just contend on
+    # the one tunnel channel — lag 8 measured SLOWER than lag 4). Composes
+    # with sync_lag: reads start after sync_lag steps and trigger every
+    # drain_batch steps; EOS detection lags up to sync_lag + drain_batch
+    # steps (budget exhaustion still reacts immediately via the host-side
+    # dispatch clamp).
+    drain_batch: int = 1
     # Speculative decoding: when > 0 (and the engine is built with
     # draft_params/draft_cfg), every engine step runs one speculative round
     # — the draft proposes spec_gamma tokens per slot, the target verifies
@@ -113,10 +124,10 @@ class ServeConfig:
         EOS/speculative overrun). size max_len >= prompt + image embeds +
         max_new_tokens + this. Single source of truth for the engine's
         submit() guard and the benchmarks' max_len sizing."""
+        lag = self.sync_lag + max(self.drain_batch, 1)
         if self.spec_gamma > 0:
-            return ((self.sync_lag + 1) * (self.spec_gamma + 1)
-                    * max(self.decode_block, 1))
-        return (self.sync_lag + 1) * max(self.decode_block, 1) - 1
+            return lag * (self.spec_gamma + 1) * max(self.decode_block, 1)
+        return lag * max(self.decode_block, 1) - 1
 
 
 @dataclasses.dataclass

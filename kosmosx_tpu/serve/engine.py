@@ -43,6 +43,7 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kosmosx_tpu.core.config import KosmosConfig, MagnetoConfig
 from kosmosx_tpu.generate.sampler import SamplingConfig
@@ -107,6 +108,13 @@ class ServeEngine(AdmissionMixin):
         self.double_scale = bool(kosmos_cfg.parity_double_scale) \
             if kosmos_cfg is not None else False
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # host copy of the key words for the zero-dispatch per-step key
+        # schedule (_fold); typed keys unwrap via key_data
+        raw = (jax.random.key_data(self.rng)
+               if jnp.issubdtype(getattr(self.rng, "dtype", jnp.uint32),
+                                 jax.dtypes.prng_key) else self.rng)
+        self._rng_host = np.asarray(jax.device_get(raw), np.uint32).copy()
+        self._fold_n = 0
         b = self.scfg.max_batch
         # Multi-chip serving: pass params sharded over a (tensor-parallel)
         # mesh and the mesh itself; the KV-cache pool then shards its heads
@@ -213,8 +221,24 @@ class ServeEngine(AdmissionMixin):
     # -- internals -----------------------------------------------------------
 
     def _fold(self):
-        self.rng, sub = jax.random.split(self.rng)
-        return sub
+        """Distinct per-step PRNG key with ZERO device work.
+
+        ``jax.random.split`` on the engine's device key is one extra device
+        dispatch per step — measured 0.55-1.3 ms/step on the axon tunnel
+        (host-loop anatomy), pure overhead for greedy traffic and an
+        arbitrary key schedule for sampled traffic. A threefry key is just
+        two uint32 words, so the host builds ``(seed_hi, seed_lo ^ step)``
+        itself: deterministic given (ctor rng, step), distinct every step,
+        and it rides the dispatch as an inline 8-byte arg. Programs that
+        fold further (blocked decode folds per sub-step) compose on top.
+        The counter is per-CALL (admission prefills and the decode dispatch
+        within one step must not share a key)."""
+        n = self._fold_n
+        self._fold_n = n + 1
+        k = self._rng_host.copy()
+        k[1] ^= np.uint32(n & 0xFFFFFFFF)
+        k[0] ^= np.uint32((n >> 32) & 0xFFFFFFFF)
+        return k
 
     def _reset_center(self, slot: int):
         """A freshly admitted slot's cache is prefilled at xPos center 0."""
@@ -422,25 +446,42 @@ class ServeEngine(AdmissionMixin):
             t2 = _pc()
             self.phase_s["post"] += t2 - t1
             t1 = t2
-        # with DISPATCHING slots, keep up to sync_lag reads outstanding;
-        # once nothing dispatched this step (pool idle, or every occupied
-        # slot budget-clamped awaiting its drain), drain everything
-        while len(self._inflight) > (self.scfg.sync_lag
-                                     if any(active_list) else 0):
-            self._drain_one()
+        # with DISPATCHING slots, let reads pipeline sync_lag steps deep and
+        # trigger every drain_batch steps — a batched device_get of K steps'
+        # tokens costs ONE link RTT (measured flat for 1..16 entries), so
+        # batching divides the per-step fetch cost by K. Once nothing
+        # dispatched this step (pool idle, or every occupied slot
+        # budget-clamped awaiting its drain), drain everything in one fetch.
+        if any(active_list):
+            kb = max(self.scfg.drain_batch, 1)
+            while len(self._inflight) >= self.scfg.sync_lag + kb:
+                self._drain_many(kb)
+        elif self._inflight:
+            self._drain_many(len(self._inflight))
         self.phase_s["drain"] += _pc() - t1
         return (self.num_active > 0 or bool(self.pending)
                 or bool(self._inflight))
 
     def _drain_one(self):
-        """Read back the oldest outstanding step's tokens and bookkeep
-        against the slot occupancy AT DISPATCH TIME (a finished request's
+        self._drain_many(1)
+
+    def _drain_many(self, n: int):
+        """Read back the oldest ``n`` outstanding steps' tokens in ONE
+        batched transfer (on a remote link a device_get of K tiny buffers
+        costs the same single RTT as one buffer — measured flat ~30 ms for
+        1..16 entries on the axon tunnel), then bookkeep each step against
+        the slot occupancy AT ITS DISPATCH TIME (a finished request's
         trailing speculative tokens are discarded)."""
-        emit, emit_lp, n_emit, snapshot = self._inflight.popleft()
-        # one batched transfer: tokens + logprobs (+ spec counts)
-        toks, lps = jax.device_get((emit, emit_lp))
-        counts = (n_emit if isinstance(n_emit, list)
-                  else jax.device_get(n_emit))
+        entries = [self._inflight.popleft() for _ in range(n)]
+        fetched = jax.device_get(
+            [(e[0], e[1], None if isinstance(e[2], list) else e[2])
+             for e in entries])
+        for (_, _, n_emit, snapshot), (toks, lps, cnts) in zip(entries,
+                                                               fetched):
+            self._bookkeep(toks, lps,
+                           n_emit if cnts is None else cnts, snapshot)
+
+    def _bookkeep(self, toks, lps, counts, snapshot):
         if getattr(toks, "ndim", 2) == 3:     # blocked spec: (K, B, g+1)
             rounds = [(toks[k], lps[k], [int(n) for n in counts[k]])
                       for k in range(toks.shape[0])]
