@@ -41,6 +41,13 @@ def main(argv=None):
                     help="read back K steps' tokens in ONE batched "
                          "device_get (1 link RTT per K steps instead of "
                          "per step); EOS lags sync_lag+K steps")
+    ap.add_argument("--async-drain", action="store_true",
+                    help="reader-thread token fetches (ServeConfig."
+                         "async_drain): the fetch RTT overlaps the step "
+                         "loop instead of blocking it")
+    ap.add_argument("--no-eager-copy", action="store_true",
+                    help="skip copy_to_host_async at dispatch (each async "
+                         "copy is its own RPC on the tunnel)")
     ap.add_argument("--spec-gamma", type=int, default=0,
                     help="speculative serving: draft proposes K tokens per "
                          "engine step (needs --draft-layers)")
@@ -156,6 +163,8 @@ def main(argv=None):
     extra = kcfg.image_embed_len if kcfg is not None else 0
     window_cfg = ServeConfig(sync_lag=args.sync_lag,
                              drain_batch=args.drain_batch,
+                             async_drain=args.async_drain,
+                             eager_copy=not args.no_eager_copy,
                              spec_gamma=args.spec_gamma,
                              decode_block=args.decode_block)
     # shared-prefix attention keeps the prefix OUT of per-slot caches
@@ -177,6 +186,9 @@ def main(argv=None):
                                   max_len=max_len,
                                   sync_lag=args.sync_lag,
                                   drain_batch=args.drain_batch,
+                                  async_drain=args.async_drain,
+                                  eager_copy=not args.no_eager_copy,
+                             eager_copy=not args.no_eager_copy,
                                   spec_gamma=args.spec_gamma,
                                   decode_block=args.decode_block,
                                   prefill_chunk=args.prefill_chunk,
@@ -287,6 +299,10 @@ def main(argv=None):
     anat["total"] = round(sum(eng.phase_s.values()) / n_anat * 1e3, 2)
     print(f"# anatomy ms/step (over {n_anat} steady-state steps): {anat}",
           file=sys.stderr)
+    rs = getattr(eng, "_reader_stats", None)
+    if rs and rs["n"]:
+        print(f"# reader: {rs['n']} fetches, mean "
+              f"{rs['s'] / rs['n'] * 1e3:.2f} ms", file=sys.stderr)
     if args.spec_gamma:
         g = args.spec_gamma
         acc = (eng.accepted_total / max(eng.emitted_total, 1))
@@ -304,6 +320,8 @@ def main(argv=None):
                   f"{', kv8' if args.kv8 else ''}"
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
                   f"{f', drain_batch={args.drain_batch}' if args.drain_batch > 1 else ''}"
+                  f"{', async_drain' if args.async_drain else ''}"
+                  f"{', no_eager_copy' if args.no_eager_copy else ''}"
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
                   f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''}"
                   f"{f', decode_block={args.decode_block}' if args.decode_block else ''}"

@@ -45,6 +45,26 @@ class ServeConfig:
     # steps (budget exhaustion still reacts immediately via the host-side
     # dispatch clamp).
     drain_batch: int = 1
+    # Asynchronous drains: a daemon READER THREAD performs the blocking
+    # token device_gets while the main loop keeps dispatching — on the axon
+    # tunnel the fetch RTT then fully overlaps the step loop (cadence
+    # probe: 1.2 ms/step vs 6.1 with inline fetches; the async host copies
+    # land in background and the reader's get costs ~0.7 ms). Entries are
+    # handed to the reader in drain_batch-sized batches (one link RTT per
+    # batch) once they are sync_lag steps old, and bookkept on the MAIN
+    # thread in dispatch order; at most sync_lag + 3*drain_batch fetches
+    # may be outstanding before the loop blocks (≈2 reader batches in
+    # flight), and overrun_window widens accordingly. Default
+    # off: with async_drain the host's view of tokens lags a few steps
+    # even at sync_lag=0, and latency-sensitive callers should opt in.
+    async_drain: bool = False
+    # Start device->host copies eagerly at dispatch time
+    # (copy_to_host_async on each emitted-token buffer). On a local device
+    # this hides the copy behind compute for free; on the axon tunnel each
+    # async copy is its own RPC and the per-request overhead can dominate
+    # the tiny token buffers — serving sweeps toggle this to find the
+    # cheaper side for a given link.
+    eager_copy: bool = True
     # Speculative decoding: when > 0 (and the engine is built with
     # draft_params/draft_cfg), every engine step runs one speculative round
     # — the draft proposes spec_gamma tokens per slot, the target verifies
@@ -124,7 +144,11 @@ class ServeConfig:
         EOS/speculative overrun). size max_len >= prompt + image embeds +
         max_new_tokens + this. Single source of truth for the engine's
         submit() guard and the benchmarks' max_len sizing."""
-        lag = self.sync_lag + max(self.drain_batch, 1)
+        # async_drain lets up to ~2 reader batches ride beyond the
+        # inflight window before backpressure blocks (engine._collect_done
+        # cap = sync_lag + 3*drain_batch)
+        lag = self.sync_lag + max(self.drain_batch, 1) * (
+            3 if self.async_drain else 1)
         if self.spec_gamma > 0:
             return lag * (self.spec_gamma + 1) * max(self.decode_block, 1)
         return lag * max(self.decode_block, 1) - 1

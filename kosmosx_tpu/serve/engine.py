@@ -22,8 +22,10 @@ fetch is required to stream tokens out anyway), but the decode feedback loop
 never leaves the device, so ``ServeConfig.sync_lag`` lets the host's token
 reads pipeline K steps behind the device — hiding the device->host link
 latency behind compute at the cost of K-step-late EOS reaction (trailing
-speculative tokens are discarded), and ``ServeConfig.decode_block`` runs K
-decode steps per dispatch to amortize the dispatch overhead itself.
+speculative tokens are discarded), ``ServeConfig.drain_batch`` reads K
+steps' tokens back in one batched transfer (one link round-trip per K
+steps), and ``ServeConfig.decode_block`` runs K decode steps per dispatch
+to amortize the dispatch overhead itself.
 Measured on the flagship (BASELINE.md): 186 tok/s synchronous -> 589 at
 sync_lag=4 -> 680 at sync_lag=4 + decode_block=4 -> 819 with W8 weights +
 int8 KV cache on top (90% of the no-streaming decode ceiling).
@@ -201,6 +203,14 @@ class ServeEngine(AdmissionMixin):
                             if self.scfg.decode_kernel_fill > 0 else None)
         # chunked prefill (ServeConfig.prefill_chunk)
         self.chunked = self.scfg.prefill_chunk > 0
+        # async drains (ServeConfig.async_drain): reader thread + queues,
+        # created lazily on first use; _outstanding counts fetches handed
+        # to the reader whose results the main thread has not bookkept yet
+        self._reader = None
+        self._reader_q = None
+        self._done_q = None
+        self._outstanding = 0
+        self._reader_stats = {"s": 0.0, "n": 0}   # fetch wall time / count
         # host-loop anatomy: cumulative wall time per step() phase (seconds).
         # Serving throughput on a remote chip is host-LOOP sensitive; these
         # six counters split each step into admit / prep (active mask +
@@ -435,13 +445,14 @@ class ServeEngine(AdmissionMixin):
             if not self.spec:
                 for i, n in enumerate(n_emit):
                     self._dispatched[i] += n
-            try:  # start the device->host copy now; read it sync_lag later
-                emit.copy_to_host_async()
-                emit_lp.copy_to_host_async()
-                if hasattr(n_emit, "copy_to_host_async"):
-                    n_emit.copy_to_host_async()
-            except AttributeError:  # backend without async copies
-                pass
+            if self.scfg.eager_copy:
+                try:  # start the device->host copy; read it sync_lag later
+                    emit.copy_to_host_async()
+                    emit_lp.copy_to_host_async()
+                    if hasattr(n_emit, "copy_to_host_async"):
+                        n_emit.copy_to_host_async()
+                except AttributeError:  # backend without async copies
+                    pass
             self._inflight.append((emit, emit_lp, n_emit, list(self.slots)))
             t2 = _pc()
             self.phase_s["post"] += t2 - t1
@@ -452,15 +463,103 @@ class ServeEngine(AdmissionMixin):
         # batching divides the per-step fetch cost by K. Once nothing
         # dispatched this step (pool idle, or every occupied slot
         # budget-clamped awaiting its drain), drain everything in one fetch.
-        if any(active_list):
-            kb = max(self.scfg.drain_batch, 1)
+        kb = max(self.scfg.drain_batch, 1)
+        if self.scfg.async_drain:
+            # hand due entries to the reader thread in drain_batch-sized
+            # BATCHES (one link RTT each); integrate whatever it finished
+            # without blocking, and block only past the backpressure cap
+            # (~2 batches in flight — ServeConfig.overrun_window widens to
+            # sync_lag + 3*drain_batch for async engines)
+            if any(active_list):
+                while len(self._inflight) >= self.scfg.sync_lag + kb:
+                    self._submit_fetch(
+                        [self._inflight.popleft() for _ in range(kb)])
+                self._collect_done(self.scfg.sync_lag + 3 * kb)
+            else:
+                if self._inflight:
+                    self._submit_fetch(list(self._inflight))
+                    self._inflight.clear()
+                self._collect_done(0)
+        elif any(active_list):
             while len(self._inflight) >= self.scfg.sync_lag + kb:
                 self._drain_many(kb)
         elif self._inflight:
             self._drain_many(len(self._inflight))
         self.phase_s["drain"] += _pc() - t1
         return (self.num_active > 0 or bool(self.pending)
-                or bool(self._inflight))
+                or bool(self._inflight) or self._outstanding > 0)
+
+    def _ensure_reader(self):
+        """Start the async-drain reader thread (lazy; daemon). The thread
+        only ever calls ``jax.device_get`` — bookkeeping stays on the main
+        thread, in dispatch order (single reader, FIFO queues). A weakref
+        finalizer stops the thread when the engine is collected."""
+        if self._reader is not None:
+            return
+        import queue
+        import threading
+        import weakref
+        self._reader_q = queue.Queue()
+        self._done_q = queue.Queue()
+
+        stats = self._reader_stats = {"s": 0.0, "n": 0}
+
+        def _loop(q_in, q_out):
+            from time import perf_counter as _pc
+            while True:
+                batch = q_in.get()
+                if batch is None:
+                    return
+                try:
+                    t0 = _pc()
+                    # ONE batched transfer for the whole batch: K steps'
+                    # tokens cost the same single link RTT as one step's
+                    fetched = jax.device_get(
+                        [(e[0], e[1],
+                          None if isinstance(e[2], list) else e[2])
+                         for e in batch])
+                    stats["s"] += _pc() - t0
+                    stats["n"] += 1
+                    for (_, _, n_emit, snapshot), (toks, lps, cnts) in zip(
+                            batch, fetched):
+                        q_out.put((toks, lps,
+                                   n_emit if cnts is None else cnts,
+                                   snapshot, None))
+                except Exception as e:   # surface on the main thread
+                    for entry in batch:
+                        q_out.put((None, None, None, entry[3], e))
+
+        self._reader = threading.Thread(
+            target=_loop, args=(self._reader_q, self._done_q), daemon=True)
+        self._reader.start()
+        weakref.finalize(self, self._reader_q.put, None)
+
+    def _submit_fetch(self, batch):
+        """Hand a LIST of inflight entries to the reader as one batched
+        fetch (one link RTT for the whole batch)."""
+        self._ensure_reader()
+        self._reader_q.put(batch)
+        self._outstanding += len(batch)
+
+    def _collect_done(self, max_left: int):
+        """Bookkeep finished async fetches: everything the reader already
+        completed, then keep blocking until at most ``max_left`` fetches
+        remain outstanding (the backpressure bound that keeps the EOS
+        overrun within ``ServeConfig.overrun_window``)."""
+        import queue as _q
+        while self._outstanding > 0:
+            block = self._outstanding > max_left
+            try:
+                toks, lps, cnts, snapshot, err = self._done_q.get(
+                    block=block, timeout=600 if block else None)
+            except _q.Empty:
+                if block:
+                    raise RuntimeError("async-drain reader stalled (600 s)")
+                break
+            self._outstanding -= 1
+            if err is not None:
+                raise err
+            self._bookkeep(toks, lps, cnts, snapshot)
 
     def _drain_one(self):
         self._drain_many(1)

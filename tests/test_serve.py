@@ -203,6 +203,49 @@ def test_engine_sync_lag_matches_sync(params, lag):
         assert hs.tokens == hl.tokens
 
 
+@pytest.mark.parametrize("db,lag,block,async_d",
+                         [(4, 0, 0, False), (4, 4, 0, False),
+                          (2, 4, 0, False), (8, 2, 0, False),
+                          (4, 4, 2, False), (1, 4, 0, True),
+                          (4, 2, 0, True), (2, 4, 3, True),
+                          (8, 0, 0, True)])
+def test_engine_drain_batch_matches_sync(params, db, lag, block, async_d):
+    """Batched drains (K steps' tokens in one device_get — one link RTT
+    per K steps on a remote chip) and reader-thread async drains must
+    produce identical greedy outputs and identical EOS handling: the
+    fetch SCHEDULE changes, the token stream must not."""
+    prompts = _prompts(5, key=33)
+    new = 7
+    mk = lambda d, sl, blk, ad=False: ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=3, max_prompt_len=16, max_len=96,
+                    sync_lag=sl, drain_batch=d, decode_block=blk,
+                    async_drain=ad, eager_copy=not ad),
+        SamplingConfig(greedy=True))
+    base_eng, db_eng = mk(1, 0, 0), mk(db, lag, block, async_d)
+    base_h = [base_eng.submit(p, max_new_tokens=new) for p in prompts]
+    db_h = [db_eng.submit(p, max_new_tokens=new) for p in prompts]
+    base_eng.run()
+    db_eng.run()
+    for hb, hd in zip(base_h, db_h):
+        assert hd.done
+        assert hb.tokens == hd.tokens
+        # blocked decode computes logprobs inside the block scan — same
+        # math, different fusion, so bitwise equality only without a block
+        assert np.allclose(hb.logprobs, hd.logprobs, atol=1e-5)
+        if block == 0:
+            assert hb.logprobs == hd.logprobs
+    # EOS cut: rerun with the eos set to a token known to appear
+    eos = base_h[0].tokens[2]
+    e1, e2 = mk(1, 2, 0), mk(db, lag, block, async_d)
+    h1 = [e1.submit(p, max_new_tokens=new, eos_id=eos) for p in prompts]
+    h2 = [e2.submit(p, max_new_tokens=new, eos_id=eos) for p in prompts]
+    e1.run()
+    e2.run()
+    for a, b in zip(h1, h2):
+        assert a.tokens == b.tokens
+
+
 def test_engine_sync_lag_eos_discards_speculative(params):
     """With lag, a request hitting EOS must stop at EOS — trailing
     speculative tokens are discarded."""
