@@ -188,7 +188,6 @@ def main(argv=None):
                                   drain_batch=args.drain_batch,
                                   async_drain=args.async_drain,
                                   eager_copy=not args.no_eager_copy,
-                             eager_copy=not args.no_eager_copy,
                                   spec_gamma=args.spec_gamma,
                                   decode_block=args.decode_block,
                                   prefill_chunk=args.prefill_chunk,
