@@ -547,8 +547,7 @@ class AdmissionMixin:
                 self.draft_caches = _insert_slot_jit(self.draft_caches, cd1,
                                                      slot)
                 self.index_d = self.index_d.at[slot].set(start + len(suffix))
-            tok_h, lp_h = jax.device_get((first, flp))  # ONE host round-trip
-            self._commit_first_token(slot, req, int(tok_h[0]), float(lp_h[0]))
+            self._commit_first(slot, req, first, flp)
             return
         # bucketed admission (ServeConfig.prompt_buckets): pad to the
         # smallest bucket that fits — prefill FLOPs scale with the bucket,
@@ -593,8 +592,7 @@ class AdmissionMixin:
                                                  slot)
             self.index_d = self.index_d.at[slot].set(len(praw))
         self.index = self.index.at[slot].set(idx[0])
-        tok_h, lp_h = jax.device_get((first, flp))  # ONE host round-trip
-        self._commit_first_token(slot, req, int(tok_h[0]), float(lp_h[0]))
+        self._commit_first(slot, req, first, flp)
 
     def _commit_first_token(self, slot: int, req: Request, tok: int,
                             lp: float):
@@ -608,6 +606,36 @@ class AdmissionMixin:
         self._dispatched[slot] = 1
         self.emitted_total += 1
         self._maybe_finish(slot, tok)
+
+    def _commit_first(self, slot: int, req: Request, first, flp):
+        """Commit an admission's sampled first token.
+
+        Throughput engines (sync_lag > 0 or async_drain) must NOT block on
+        a host read here: the blocking ``device_get`` costs prefill-wait +
+        one link RTT per admission (measured 30-50 ms on the axon tunnel —
+        up to ~20 ms/step amortized at decode_block=4). Instead the token
+        enters the slot's device feed via a device-side copy and the
+        HOST-side commit (handle append, logprob, EOS/budget check) rides
+        the normal drain pipeline as an admission-only inflight entry
+        (counts = {"slot": slot}), keeping token order per slot. Latency
+        engines (sync_lag == 0, no async_drain) keep the synchronous read
+        — their contract is immediate first-token visibility."""
+        if self.scfg.sync_lag > 0 or self.scfg.async_drain:
+            self.last = self.last.at[slot].set(first[0])
+            self.slots[slot] = req
+            self._dispatched[slot] = 1
+            if self.scfg.eager_copy:
+                try:
+                    first.copy_to_host_async()
+                    flp.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self._inflight.append((first, flp, {"slot": slot},
+                                   list(self.slots)))
+        else:
+            tok_h, lp_h = jax.device_get((first, flp))
+            self._commit_first_token(slot, req, int(tok_h[0]),
+                                     float(lp_h[0]))
 
     def _maybe_finish(self, slot: int, tok: int):
         req = self.slots[slot]

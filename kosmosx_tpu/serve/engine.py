@@ -516,7 +516,7 @@ class ServeEngine(AdmissionMixin):
                     # tokens cost the same single link RTT as one step's
                     fetched = jax.device_get(
                         [(e[0], e[1],
-                          None if isinstance(e[2], list) else e[2])
+                          None if isinstance(e[2], (list, dict)) else e[2])
                          for e in batch])
                     stats["s"] += _pc() - t0
                     stats["n"] += 1
@@ -573,7 +573,7 @@ class ServeEngine(AdmissionMixin):
         trailing speculative tokens are discarded)."""
         entries = [self._inflight.popleft() for _ in range(n)]
         fetched = jax.device_get(
-            [(e[0], e[1], None if isinstance(e[2], list) else e[2])
+            [(e[0], e[1], None if isinstance(e[2], (list, dict)) else e[2])
              for e in entries])
         for (_, _, n_emit, snapshot), (toks, lps, cnts) in zip(entries,
                                                                fetched):
@@ -581,6 +581,16 @@ class ServeEngine(AdmissionMixin):
                            n_emit if cnts is None else cnts, snapshot)
 
     def _bookkeep(self, toks, lps, counts, snapshot):
+        if isinstance(counts, dict):   # admission first-token entry
+            slot = counts["slot"]
+            req = snapshot[slot]
+            if req is not None and not req.done:
+                tok = int(toks[0])
+                req.tokens.append(tok)
+                req.logprobs.append(float(lps[0]))
+                self.emitted_total += 1
+                self._finish_if_needed(slot, req, tok)
+            return
         if getattr(toks, "ndim", 2) == 3:     # blocked spec: (K, B, g+1)
             rounds = [(toks[k], lps[k], [int(n) for n in counts[k]])
                       for k in range(toks.shape[0])]
