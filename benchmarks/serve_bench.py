@@ -273,6 +273,11 @@ def main(argv=None):
             # per-phase counters too (they are reported per counted step)
             for k in eng.phase_s:
                 eng.phase_s[k] = 0.0
+            # the reader-thread fetch stats cover the same step range as the
+            # anatomy line — reset IN PLACE (the engine published this same
+            # dict into the reader closure)
+            eng._reader_stats["s"] = 0.0
+            eng._reader_stats["n"] = 0
             steps_before = steps
         while pending and eng.num_active < args.slots:
             p, im = pending.pop()

@@ -144,9 +144,13 @@ class ServeConfig:
         EOS/speculative overrun). size max_len >= prompt + image embeds +
         max_new_tokens + this. Single source of truth for the engine's
         submit() guard and the benchmarks' max_len sizing."""
-        # async_drain lets up to ~2 reader batches ride beyond the
-        # inflight window before backpressure blocks (engine._collect_done
-        # cap = sync_lag + 3*drain_batch)
+        # async_drain bounds TOTAL un-bookkept steps (queued in _inflight
+        # plus handed to the reader) to sync_lag + 3*drain_batch: the
+        # engine's backpressure cap subtracts len(_inflight) from the
+        # reader allowance (engine.step's _collect_done call), so this
+        # budget is exact even for spec engines, which bypass the host
+        # budget clamp and write (gamma+1)*block cache rows per
+        # un-bookkept step
         lag = self.sync_lag + max(self.drain_batch, 1) * (
             3 if self.async_drain else 1)
         if self.spec_gamma > 0:

@@ -371,6 +371,12 @@ class ServeEngine(AdmissionMixin):
             s is not None and not self._is_prefilling(i)
             and (self.spec or self._dispatched[i] < s.max_new_tokens)
             for i, s in enumerate(self.slots)]
+        if not any(active_list):
+            # stamp prep unconditionally so idle-heavy steps don't leak the
+            # active-mask build time into the drain column of the anatomy
+            t2 = _pc()
+            self.phase_s["prep"] += t2 - t1
+            t1 = t2
         if any(active_list):
             self._maybe_recenter(active_list)
             key = tuple(active_list)
@@ -474,7 +480,16 @@ class ServeEngine(AdmissionMixin):
                 while len(self._inflight) >= self.scfg.sync_lag + kb:
                     self._submit_fetch(
                         [self._inflight.popleft() for _ in range(kb)])
-                self._collect_done(self.scfg.sync_lag + 3 * kb)
+                # backpressure bounds TOTAL un-bookkept steps (still queued
+                # in _inflight + handed to the reader) to sync_lag + 3*kb —
+                # the exact budget ServeConfig.overrun_window credits. The
+                # cap must subtract len(_inflight): without it, inflight
+                # entries ride on top of the reader allowance and a spec
+                # engine (no host budget clamp) can write
+                # (gamma+1)*block cache rows per extra step past the
+                # headroom submit() verified.
+                self._collect_done(max(
+                    0, self.scfg.sync_lag + 3 * kb - len(self._inflight)))
             else:
                 if self._inflight:
                     self._submit_fetch(list(self._inflight))
@@ -618,7 +633,8 @@ class ServeEngine(AdmissionMixin):
     def run(self, max_steps: Optional[int] = None):
         """Drain every pending/in-flight request (bounded by max_steps)."""
         n = 0
-        while (self.pending or self.num_active or self._inflight) and (
+        while (self.pending or self.num_active or self._inflight
+               or self._outstanding > 0) and (
                 max_steps is None or n < max_steps):
             self.step()
             n += 1

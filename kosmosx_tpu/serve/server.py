@@ -125,7 +125,8 @@ class ServeServer:
     def _dispatch_loop(self):
         eng = self.engine
         while self._running:
-            busy = bool(eng.pending or eng.num_active or eng._inflight)
+            busy = bool(eng.pending or eng.num_active or eng._inflight
+                        or eng._outstanding > 0)
             # admit everything queued; block briefly only when idle
             while True:
                 try:

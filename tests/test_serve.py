@@ -306,6 +306,35 @@ def test_engine_speculative_matches_plain(params, draft_params, lag, block):
         assert hp.tokens == hsp.tokens
 
 
+@pytest.mark.parametrize("db,lag,block", [(2, 1, 0), (2, 2, 2), (4, 0, 0)])
+def test_engine_speculative_async_drain_matches_sync(params, draft_params,
+                                                     db, lag, block):
+    """spec_gamma + async_drain: the spec engine bypasses the host budget
+    clamp, so every un-bookkept step writes (gamma+1)*block cache rows —
+    the backpressure cap must bound TOTAL un-bookkept (inflight + reader)
+    steps to sync_lag + 3*drain_batch or cache tails silently overwrite.
+    Greedy outputs must match the synchronous spec engine exactly, and the
+    overrun submit() guard must accept the workload."""
+    prompts = _prompts(5, key=47)
+    new = 7
+
+    def run(ad):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_batch=3, max_prompt_len=16, max_len=256,
+                        sync_lag=lag, spec_gamma=3, decode_block=block,
+                        drain_batch=db, async_drain=ad, eager_copy=not ad),
+            SamplingConfig(greedy=True),
+            draft_params=draft_params, draft_cfg=DRAFT_CFG)
+        hs = [eng.submit(p, max_new_tokens=new) for p in prompts]
+        eng.run()
+        return hs
+
+    for hs, ha in zip(run(False), run(True)):
+        assert ha.done
+        assert hs.tokens == ha.tokens
+
+
 def test_engine_speculative_self_draft_accepts(params):
     """Draft == target: every proposal accepted, so steps collapse and the
     acceptance counter reflects it."""
