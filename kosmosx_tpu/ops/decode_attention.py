@@ -88,14 +88,21 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(si * block_s < kv_len)
     def _run():
-        q = q_ref[0, :, 0, :]                         # (H, hd)
+        q = q_ref[0]                                  # (H, 1, hd)
         k = k_ref[0]                                  # (H, block_s, hd)
+        h, _, hd = q.shape
         # scores on the VPU: broadcast-mul + lane reduction with fp32
         # accumulation (M=1 per head on the MXU would waste 127/128 of the
-        # array and force a kT layout). The product stays in the input dtype
-        # — same arithmetic as the MXU's bf16-multiply/fp32-accumulate —
-        # and skipping full-tile fp32 casts halves the Mosaic stack temps.
-        s = jnp.sum(k * q[:, None, :], axis=2,
+        # array and force a kT layout). Mosaic-version constraints
+        # discovered on chip (2026-08-20 toolchain): `q2d[:, None, :]` /
+        # broadcast_in_dim into a MIDDLE (sublane) dim emit a
+        # (H,hd)->(H,1,hd) tpu.reshape that fails "infer-vector-layout:
+        # unsupported shape cast", and matvec-shaped dot_generals (empty
+        # non-contracting dims on either side) trip an MLIR attr-parser
+        # bug. Loading q STRAIGHT OFF a (1,H,1,hd) ref keeps the unit
+        # sublane dim without any reshape, and the implicit numpy
+        # broadcast in `k * q` compiles clean.
+        s = jnp.sum(k * q, axis=2,
                     dtype=jnp.float32)                # (H, block_s) f32
         # exp->exp2 change of base on the reduced scores: one small VPU op
         # (folding LOG2E into a bf16 q would add a rounding step)
@@ -117,7 +124,11 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         if vs_ref is not None:
             p = p * vs_ref[0]
         v = v_ref[0]                                  # (H, block_s, hd)
-        o_curr = jnp.sum(p[:, :, None] * v.astype(jnp.float32), axis=1,
+        # p broadcasts into the LANE dim directly (a lane splat —
+        # broadcast_in_dim(..., (0, 1)) emits no reshape, unlike the
+        # middle-dim case above), then sublane-reduce
+        pb = lax.broadcast_in_dim(p, (h, block_s, hd), (0, 1))
+        o_curr = jnp.sum(pb * v.astype(jnp.float32), axis=1,
                          dtype=jnp.float32)           # (H, hd) sublane red.
         acc_scr[...] = acc_scr[...] * alpha + o_curr
 
@@ -125,7 +136,13 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     def _store():
         l_fin = l_scr[...]                            # (H, 1)
         inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0, :, 0, :] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        # o rides as a 3-D (B, H, hd) block: a (H, hd) vector expands to
+        # (1, H, hd) — a LEADING unit dim, which Mosaic's layout inference
+        # supports. The natural 4-D (1, H, 1, hd) block needs a
+        # 32x64 -> 1x32x1x64 shape cast (INNER unit dim) that fails real
+        # compilation ("infer-vector-layout: unsupported shape cast") even
+        # though interpret mode passes.
+        o_ref[0] = (acc_scr[...] * inv).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -177,8 +194,8 @@ def _decode_attention_4d(q, k, v, kv_len, k_scale, v_scale, *,
         num_scalar_prefetch=1,
         grid=(b, ns),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, 1, hd),
-                               lambda bi, si, lens: (bi, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, hd),
+                               lambda bi, si, lens: (bi, 0, 0)),
         scratch_shapes=[pltpu.VMEM((h, 1), jnp.float32),
                         pltpu.VMEM((h, 1), jnp.float32),
                         pltpu.VMEM((h, hd), jnp.float32)],
@@ -186,12 +203,12 @@ def _decode_attention_4d(q, k, v, kv_len, k_scale, v_scale, *,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, 1, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(kv_len, jnp.int32), *args)
-    return out
+    return out[:, :, None, :]
 
 
 def decode_attention(q, k, v, kv_len, *, k_scale=None, v_scale=None,
