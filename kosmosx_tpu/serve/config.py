@@ -54,10 +54,14 @@ class ServeConfig:
     # batch) once they are sync_lag steps old, and bookkept on the MAIN
     # thread in dispatch order; at most sync_lag + 3*drain_batch fetches
     # may be outstanding before the loop blocks (≈2 reader batches in
-    # flight), and overrun_window widens accordingly. Default
-    # off: with async_drain the host's view of tokens lags a few steps
-    # even at sync_lag=0, and latency-sensitive callers should opt in.
-    async_drain: bool = False
+    # flight), and overrun_window widens accordingly. Default ON
+    # (round-5 table, BASELINE.md: async won every measured pairing —
+    # +12% plain, +5% w8+kv8, +5% all-levers — with bit-identical greedy
+    # token streams); set False when the host must observe tokens
+    # strictly step-synchronously (per-token latency SLAs): with
+    # async_drain the host's view of tokens lags a few steps even at
+    # sync_lag=0.
+    async_drain: bool = True
     # Start device->host copies eagerly at dispatch time
     # (copy_to_host_async on each emitted-token buffer). On a local device
     # this hides the copy behind compute for free; on the axon tunnel each

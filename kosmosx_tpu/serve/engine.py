@@ -26,9 +26,11 @@ speculative tokens are discarded), ``ServeConfig.drain_batch`` reads K
 steps' tokens back in one batched transfer (one link round-trip per K
 steps), and ``ServeConfig.decode_block`` runs K decode steps per dispatch
 to amortize the dispatch overhead itself.
-Measured on the flagship (BASELINE.md): 186 tok/s synchronous -> 589 at
-sync_lag=4 -> 680 at sync_lag=4 + decode_block=4 -> 819 with W8 weights +
-int8 KV cache on top (90% of the no-streaming decode ceiling).
+Measured on the flagship (BASELINE.md round-5 table): 186 tok/s fully
+synchronous -> 523 at sync_lag=4 -> 588 with the async-drain reader (the
+default) -> 1,066 with W8 weights + int8 KV cache + decode_block=4 on top
+(1.17x the bf16 no-streaming decode ceiling — the levers raise the
+ceiling itself).
 
 Module layout (split for reviewability; the public surface is unchanged):
 - serve/config.py    ServeConfig, Request, the mode-compatibility matrix

@@ -210,8 +210,12 @@ def test_shared_prefix_shrinks_cache_budget(params):
     matching prompts — the capacity win over copy-mode prefix caching."""
     new = 6
     prompt = PREFIX + [30, 31]          # 8 tokens; remainder = 2
+    # async_drain off: this test sizes max_len EXACTLY (remainder + new
+    # with zero overrun headroom) to prove the budget accounting, and the
+    # default async reader widens overrun_window
     small = ServeConfig(max_batch=2, max_prompt_len=16,
-                        max_len=2 + new)  # < len(prompt) + new
+                        max_len=2 + new,  # < len(prompt) + new
+                        async_drain=False)
     eng = ServeEngine(params, CFG, small, SamplingConfig(greedy=True))
     eng.register_prefix(PREFIX, share=True)
     ref = _refs(params, [prompt], new)[0]
