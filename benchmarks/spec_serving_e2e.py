@@ -50,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--kv8", action="store_true",
                     help="serve both engines with an int8 KV cache "
                          "(kv_cache_dtype='int8')")
+    ap.add_argument("--no-async-drain", action="store_true",
+                    help="disable the async-drain reader (ServeConfig."
+                         "async_drain defaults True since round 5) for "
+                         "both engines")
     ap.add_argument("--w8", action="store_true",
                     help="serve with weight-only int8 target+draft params "
                          "(decode and the multi-token verify are weight-"
@@ -200,6 +204,7 @@ def main(argv=None):
     def run_engine(spec: bool):
         window = ServeConfig(sync_lag=args.sync_lag,
                              spec_gamma=args.gamma if spec else 0,
+                             async_drain=not args.no_async_drain,
                              decode_block=args.decode_block if spec else 0
                              ).overrun_window
         eng = ServeEngine(
@@ -208,6 +213,7 @@ def main(argv=None):
                         max_prompt_len=args.prompt_len,
                         max_len=args.prompt_len + args.new_tokens + window,
                         sync_lag=args.sync_lag,
+                        async_drain=not args.no_async_drain,
                         decode_block=args.decode_block if spec else 0,
                         spec_gamma=args.gamma if spec else 0),
             SamplingConfig(greedy=True),
