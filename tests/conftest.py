@@ -43,20 +43,31 @@ if _cache_dir:
 import pytest  # noqa: E402
 
 
+_CLEAR_EVERY = int(os.environ.get("KOSMOSX_TEST_CLEAR_EVERY", "3"))
+_modules_since_clear = [0]
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_compile_accumulation():
-    """Free compiled executables at module boundaries.
+    """Free compiled executables every _CLEAR_EVERY module boundaries.
 
     The full fast tier accumulates ~190 XLA:CPU compiles in one process;
     at HEAD of round 3 that deterministically SIGSEGVed inside
     backend_compile_and_load (the ORC-JIT load step) two tests into
     test_serve_matrix — reproducibly at the same position, while the same
-    file alone passes. Dropping executable references between modules
-    bounds the live JIT code regions; within-module sharing (the expensive
-    kind — engines reusing decode programs) is untouched. Costs only
-    cross-module recompiles of identical signatures, which are rare."""
+    file alone passes. Dropping executable references bounds the live
+    JIT code regions. Round 4 cleared at EVERY module boundary, which
+    fixed the segfault but ballooned the tier from ~8 to ~25 min
+    (cross-module recompiles of the shared decoder/engine programs);
+    clearing every 3rd module keeps live code bounded at ~3 modules'
+    worth — far under the segfault threshold — while adjacent modules
+    share compiles again (round-5 verdict item 7). Tune with
+    KOSMOSX_TEST_CLEAR_EVERY (1 = round-4 behavior)."""
     yield
-    jax.clear_caches()
+    _modules_since_clear[0] += 1
+    if _modules_since_clear[0] >= _CLEAR_EVERY:
+        _modules_since_clear[0] = 0
+        jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

@@ -143,7 +143,10 @@ def test_adapter_requests_do_not_use_shared_prefix_budget(params):
     prompt = prefix + [30, 31]
     new = 5
     a_tree = _adapter(params, seed=55)
-    small = ServeConfig(max_batch=2, max_prompt_len=16, max_len=2 + new)
+    # async_drain off: max_len is sized EXACTLY (remainder + new, zero
+    # overrun headroom) and the default async reader widens overrun_window
+    small = ServeConfig(max_batch=2, max_prompt_len=16, max_len=2 + new,
+                        async_drain=False)
     eng = ServeEngine(params, CFG, small, SamplingConfig(greedy=True))
     eng.register_prefix(prefix, share=True)
     eng.load_adapter("A", a_tree)
