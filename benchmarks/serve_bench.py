@@ -42,9 +42,13 @@ def main(argv=None):
                          "device_get (1 link RTT per K steps instead of "
                          "per step); EOS lags sync_lag+K steps")
     ap.add_argument("--async-drain", action="store_true",
-                    help="reader-thread token fetches (ServeConfig."
-                         "async_drain): the fetch RTT overlaps the step "
-                         "loop instead of blocking it")
+                    help="(no-op since round 5: ServeConfig.async_drain "
+                         "defaults True; kept so recorded command lines "
+                         "keep reproducing)")
+    ap.add_argument("--no-async-drain", action="store_true",
+                    help="disable the async-drain reader thread "
+                         "(ServeConfig.async_drain=False): token fetches "
+                         "block the step loop instead of overlapping it")
     ap.add_argument("--no-eager-copy", action="store_true",
                     help="skip copy_to_host_async at dispatch (each async "
                          "copy is its own RPC on the tunnel)")
@@ -108,6 +112,8 @@ def main(argv=None):
                          "per-slot prefix copies, per-slot cache sized for "
                          "the remainder only")
     args = ap.parse_args(argv)
+    # library default is async ON; --no-async-drain opts out
+    args.async_drain = not args.no_async_drain
     if args.prefix_len >= args.prompt_len:
         raise SystemExit("--prefix-len must be < --prompt-len")
     if args.adapter_rank and (args.multimodal or args.prefix_len):
@@ -270,14 +276,9 @@ def main(argv=None):
             tokens_before = _total_tokens(handles)
             t0 = time.perf_counter()
             # steady-state anatomy: drop warmup/compile phases from the
-            # per-phase counters too (they are reported per counted step)
-            for k in eng.phase_s:
-                eng.phase_s[k] = 0.0
-            # the reader-thread fetch stats cover the same step range as the
-            # anatomy line — reset IN PLACE (the engine published this same
-            # dict into the reader closure)
-            eng._reader_stats["s"] = 0.0
-            eng._reader_stats["n"] = 0
+            # per-phase counters and reader fetch stats (both printed
+            # diagnostics then cover the same counted-step range)
+            eng.reset_counters()
             steps_before = steps
         while pending and eng.num_active < args.slots:
             p, im = pending.pop()
@@ -324,7 +325,7 @@ def main(argv=None):
                   f"{', kv8' if args.kv8 else ''}"
                   f"{f', sync_lag={args.sync_lag}' if args.sync_lag else ''}"
                   f"{f', drain_batch={args.drain_batch}' if args.drain_batch > 1 else ''}"
-                  f"{', async_drain' if args.async_drain else ''}"
+                  f"{', no_async_drain' if not args.async_drain else ''}"
                   f"{', no_eager_copy' if args.no_eager_copy else ''}"
                   f"{f', spec_gamma={args.spec_gamma}' if args.spec_gamma else ''}"
                   f"{f', prefill_chunk={args.prefill_chunk}' if args.prefill_chunk else ''}"

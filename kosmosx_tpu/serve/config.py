@@ -149,14 +149,17 @@ class ServeConfig:
         max_new_tokens + this. Single source of truth for the engine's
         submit() guard and the benchmarks' max_len sizing."""
         # async_drain bounds TOTAL un-bookkept steps (queued in _inflight
-        # plus handed to the reader) to sync_lag + 3*drain_batch: the
-        # engine's backpressure cap subtracts len(_inflight) from the
-        # reader allowance (engine.step's _collect_done call), so this
-        # budget is exact even for spec engines, which bypass the host
-        # budget clamp and write (gamma+1)*block cache rows per
-        # un-bookkept step
-        lag = self.sync_lag + max(self.drain_batch, 1) * (
-            3 if self.async_drain else 1)
+        # plus handed to the reader) to sync_lag + 3*drain_batch at the
+        # END of each step: the engine's backpressure cap subtracts
+        # len(_inflight) from the reader allowance (engine.step's
+        # _collect_done call). The +1 mirrors the sync path's own +1:
+        # the NEXT step dispatches before it bookkeeps anything, so one
+        # more dispatch can land on top of the end-of-step bound. This
+        # matters most for spec engines, which bypass the host budget
+        # clamp and write (gamma+1)*block cache rows per un-bookkept step.
+        kb = max(self.drain_batch, 1)
+        lag = (self.sync_lag + 3 * kb + 1 if self.async_drain
+               else self.sync_lag + kb)
         if self.spec_gamma > 0:
             return lag * (self.spec_gamma + 1) * max(self.decode_block, 1)
         return lag * max(self.decode_block, 1) - 1

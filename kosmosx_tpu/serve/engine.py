@@ -373,13 +373,14 @@ class ServeEngine(AdmissionMixin):
             s is not None and not self._is_prefilling(i)
             and (self.spec or self._dispatched[i] < s.max_new_tokens)
             for i, s in enumerate(self.slots)]
-        if not any(active_list):
+        act = any(active_list)
+        if not act:
             # stamp prep unconditionally so idle-heavy steps don't leak the
             # active-mask build time into the drain column of the anatomy
             t2 = _pc()
             self.phase_s["prep"] += t2 - t1
             t1 = t2
-        if any(active_list):
+        if act:
             self._maybe_recenter(active_list)
             key = tuple(active_list)
             if self._active_dev is None or key != self._active_key:
@@ -478,7 +479,7 @@ class ServeEngine(AdmissionMixin):
             # without blocking, and block only past the backpressure cap
             # (~2 batches in flight — ServeConfig.overrun_window widens to
             # sync_lag + 3*drain_batch for async engines)
-            if any(active_list):
+            if act:
                 while len(self._inflight) >= self.scfg.sync_lag + kb:
                     self._submit_fetch(
                         [self._inflight.popleft() for _ in range(kb)])
@@ -497,7 +498,7 @@ class ServeEngine(AdmissionMixin):
                     self._submit_fetch(list(self._inflight))
                     self._inflight.clear()
                 self._collect_done(0)
-        elif any(active_list):
+        elif act:
             while len(self._inflight) >= self.scfg.sync_lag + kb:
                 self._drain_many(kb)
         elif self._inflight:
@@ -519,7 +520,10 @@ class ServeEngine(AdmissionMixin):
         self._reader_q = queue.Queue()
         self._done_q = queue.Queue()
 
-        stats = self._reader_stats = {"s": 0.0, "n": 0}
+        # close over the INIT-TIME stats dict (never rebind it): callers
+        # that reset counters in place (reset_counters) must keep aliasing
+        # the dict the reader accumulates into
+        stats = self._reader_stats
 
         def _loop(q_in, q_out):
             from time import perf_counter as _pc
@@ -631,6 +635,20 @@ class ServeEngine(AdmissionMixin):
                     # draft tokens actually banked this round (the +1 is
                     # the target's own correction/bonus token)
                     self.accepted_total += committed - 1
+
+    def reset_counters(self):
+        """Zero the host-loop anatomy timers and reader fetch stats IN
+        PLACE (benchmarks call this at their warmup boundary so both
+        printed diagnostics cover the same steady-state step range). The
+        reader thread closes over these same dicts, so they are mutated,
+        never rebound. Known benign race: a reader `+=` in flight during
+        the reset can re-add its pre-reset accumulation — at most one
+        fetch's time, and a fetch spanning the boundary is attributable to
+        either side anyway."""
+        for k in self.phase_s:
+            self.phase_s[k] = 0.0
+        self._reader_stats["s"] = 0.0
+        self._reader_stats["n"] = 0
 
     def run(self, max_steps: Optional[int] = None):
         """Drain every pending/in-flight request (bounded by max_steps)."""

@@ -338,10 +338,12 @@ def test_engine_speculative_async_drain_matches_sync(params, draft_params,
 def test_engine_speculative_self_draft_accepts(params):
     """Draft == target: every proposal accepted, so steps collapse and the
     acceptance counter reflects it."""
+    # async_drain off: the sharp steps<=5 bound asserts the SYNC round
+    # collapse; async bookkeeping lag adds drain-only trailing steps
     eng = ServeEngine(
         params, CFG,
         ServeConfig(max_batch=2, max_prompt_len=16, max_len=64,
-                    spec_gamma=3),
+                    spec_gamma=3, async_drain=False),
         SamplingConfig(greedy=True),
         draft_params=params, draft_cfg=CFG)
     h = eng.submit(_prompts(1, key=43)[0], max_new_tokens=12)
