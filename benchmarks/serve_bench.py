@@ -241,6 +241,14 @@ def main(argv=None):
         return rng.rand(1, 3, kcfg.vision.image_size,
                         kcfg.vision.image_size).astype(np.float32)
 
+    # deploy-style warmup: compiles the batch-1 AND batched-admission
+    # prefill programs (plus prefix/adapter flavors) before any timed
+    # traffic — a mid-run compile of the batched program costs ~30 s+ on
+    # the tunnel and wrecks the row (observed)
+    t_w = time.perf_counter()
+    eng.warmup(adapters=adapter_name is not None)
+    print(f"# warmup: {time.perf_counter() - t_w:.1f}s", file=sys.stderr)
+
     handles = []
     # admission latency: first prefill (compile) then a timed one
     handles.append(eng.submit(mk_prompt(0), max_new_tokens=args.new_tokens,

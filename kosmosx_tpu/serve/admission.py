@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from kosmosx_tpu.serve.config import Request, unsupported_reason
-from kosmosx_tpu.serve.programs import (_insert_slot_jit, _prefill_chunk_pool_jit,
+from kosmosx_tpu.serve.programs import (_insert_rows_jit, _insert_slot_jit,
+                                        _prefill_chunk_pool_jit,
                                         _prefill_mm_one_jit,
                                         _prefill_mm_prefix_jit,
                                         _prefill_one_jit,
@@ -334,8 +335,11 @@ class AdmissionMixin:
         return (sh is not None and len(toks) > sh["len"]
                 and [int(t) for t in toks[:sh["len"]]] == list(sh["key"]))
 
-    def _match_prefix(self, praw):
-        """Longest registered prefix that strictly prefixes ``praw``."""
+    def _match_prefix(self, praw, probe: bool = False):
+        """Longest registered prefix that strictly prefixes ``praw``.
+        ``probe=True`` (the batched-admission eligibility check) leaves the
+        LRU order and hit counter untouched — only the real admission
+        counts."""
         best = None
         for key in self.prefix_cache:
             n = len(key)
@@ -344,8 +348,9 @@ class AdmissionMixin:
                 best = (key, n)
         if best is None:
             return None
-        self.prefix_cache.move_to_end(best[0])
-        self.prefix_hits += 1
+        if not probe:
+            self.prefix_cache.move_to_end(best[0])
+            self.prefix_hits += 1
         return self.prefix_cache[best[0]]
 
     def warmup(self, images=None, adapters: bool = True) -> int:
@@ -396,6 +401,25 @@ class AdmissionMixin:
                 pass
         self.run()
         assert all(h.done for h in handles)
+        # the batched-admission program (engine.step groups _admit_bucket
+        # simple admissions into one pooled prefill): warm it with one
+        # full group — a mid-traffic compile of this program costs ~30 s+
+        # on a remote chip
+        if self._admit_bucket > 1 and not self.chunked \
+                and not self.scfg.prompt_buckets:
+            group = []
+            for _ in range(self._admit_bucket):
+                try:
+                    group.append(self.submit([tok, tok], max_new_tokens=2))
+                except ValueError:
+                    break
+            if len(group) < self._admit_bucket:
+                # a tight engine that can't hold a full group will never
+                # form one in real traffic either
+                pass
+            self.run()
+            assert all(h.done for h in group)
+            handles += group
         self.prefix_hits = hits_before  # warmup must not skew stats
         self.emitted_total = 0
         self.accepted_total = 0
@@ -422,6 +446,114 @@ class AdmissionMixin:
         return True
 
     # -- admission internals -------------------------------------------------
+
+    def _batchable(self, req: Request) -> bool:
+        """Eligible for the batched-admission prefill: the plain text-only
+        tail of _admit (no images, no adapter, no chunked ingestion, no
+        prompt buckets, no prefix-cache or shared-segment hit). Everything
+        else keeps the specialized batch-1 paths."""
+        import numpy as np
+        if self.chunked or req.images is not None or req.adapter is not None:
+            return False
+        if self.scfg.prompt_buckets:
+            return False
+        praw = np.asarray(req.prompt, np.int32)
+        if self.shared_seg is not None and self._matches_shared(praw):
+            return False
+        if self.prefix_cache and self._match_prefix(praw,
+                                                    probe=True) is not None:
+            return False
+        return True
+
+    def _admit_many(self, pairs) -> None:
+        """Admit several simple text-only requests with ONE pooled prefill.
+
+        Prefill is weight-read bound (a 128-token batch-1 prefill reads all
+        ~5 GB of weights for ~0.7 TFLOP of compute), so A admissions
+        batched into one dispatch cost barely more than one — measured as
+        the 47 ms/step admission tax at 32-slot high-churn serving
+        (BASELINE.md round-5 slot-scaling table). The caller buckets A to
+        powers of two so at most log2(max_batch) extra prefill programs
+        compile. Per-slot sampling-override state updates are batched into
+        one dispatch per field; the batch commits as ONE admission inflight
+        entry (counts = {"slots": [...]}) on throughput engines, or one
+        batched device_get on latency engines."""
+        import numpy as np
+        A = len(pairs)
+        p = self.scfg.max_prompt_len
+        slots = [s for s, _ in pairs]
+        prompts = np.full((A, p), self.scfg.pad_id, np.int32)
+        lens = np.zeros((A,), np.int32)
+        on = np.zeros((A,), bool)
+        temps = np.ones((A,), np.float32)
+        topks = np.zeros((A,), np.int32)
+        topps = np.ones((A,), np.float32)
+        for r, (slot, req) in enumerate(pairs):
+            praw = np.asarray(req.prompt, np.int32)
+            prompts[r, :len(praw)] = praw
+            lens[r] = len(praw)
+            self._dispatched[slot] = 0
+            self._reset_center(slot)
+            self._prefill_host[slot] = len(praw)
+            self._set_slot_adapter(slot, None)
+            on[r] = (req.temperature is not None or req.top_k is not None
+                     or req.top_p is not None)
+            self._override_host[slot] = bool(on[r])
+            if req.temperature is not None:
+                temps[r] = float(req.temperature)
+            if req.top_k is not None:
+                topks[r] = int(req.top_k)
+            if req.top_p is not None:
+                topps[r] = float(req.top_p)
+        sl = jnp.asarray(slots, jnp.int32)
+        self.slot_override = self.slot_override.at[sl].set(
+            jnp.asarray(on))
+        self.slot_temp = self.slot_temp.at[sl].set(jnp.asarray(temps))
+        self.slot_topk = self.slot_topk.at[sl].set(jnp.asarray(topks))
+        self.slot_topp = self.slot_topp.at[sl].set(jnp.asarray(topps))
+        if self.shared_seg is not None:
+            # eligibility guarantees no shared match, but the rows must be
+            # cleared (a previous occupant may have attended the segment)
+            self.shared_on = self.shared_on.at[sl].set(False)
+            self.pos_offset = self.pos_offset.at[sl].set(0)
+        rows = None
+        if on.any():
+            rows = (jnp.asarray(on), jnp.asarray(temps),
+                    jnp.asarray(topks), jnp.asarray(topps))
+        pj = jnp.asarray(prompts)
+        lj = jnp.asarray(lens)
+        first, flp, cA = _prefill_one_jit(
+            self.dec_params, pj, lj, self._fold(), self.cfg,
+            self.sampling, self.cache_len, double_scale=self.double_scale,
+            interpret=self.interpret, rows=rows)
+        self.caches = _insert_rows_jit(self.caches, cA, sl)
+        self.index = self.index.at[sl].set(lj)
+        if self.spec:
+            _, _, cdA = _prefill_one_jit(
+                self.draft_params, pj, lj, self._fold(), self.draft_cfg,
+                self.sampling, self.cache_len, interpret=self.interpret)
+            self.draft_caches = _insert_rows_jit(self.draft_caches, cdA, sl)
+            self.index_d = self.index_d.at[sl].set(lj)
+        if self.scfg.sync_lag > 0 or self.scfg.async_drain:
+            self.last = self.last.at[sl].set(first)
+            for slot, req in pairs:
+                self.slots[slot] = req
+                self._dispatched[slot] = 1
+            if self.scfg.eager_copy:
+                try:
+                    first.copy_to_host_async()
+                    flp.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self._inflight.append((first, flp, {"slots": list(slots)},
+                                   list(self.slots)))
+        else:
+            # latency engines: ONE blocking read for the whole batch, then
+            # the standard per-slot commit (which feeds `last` per row)
+            tok_h, lp_h = jax.device_get((first, flp))
+            for r, (slot, req) in enumerate(pairs):
+                self._commit_first_token(slot, req, int(tok_h[r]),
+                                         float(lp_h[r]))
 
     def _admit(self, slot: int, req: Request):
         import numpy as np

@@ -198,6 +198,12 @@ class ServeEngine(AdmissionMixin):
         self._live_params = None     # dec_params + slot_lora graft (cached)
         # blocked decode (ServeConfig.decode_block)
         self.block = max(int(self.scfg.decode_block), 0)
+        # batched admission: groups of exactly this many simple text-only
+        # requests prefill in ONE dispatch (prefill is weight-read bound,
+        # so a full bucket costs barely more than one admission); smaller
+        # groups keep the batch-1 path. One extra program, warmed by
+        # warmup().
+        self._admit_bucket = min(b, 8)
         # fill-adaptive decode-attention kernel (ServeConfig.
         # decode_kernel_fill): the alternate cfg the low-fill dispatches
         # run under; hashes distinctly so at most one extra decode program
@@ -352,9 +358,32 @@ class ServeEngine(AdmissionMixin):
         device). Returns False when there is nothing left to do."""
         from time import perf_counter as _pc
         t0 = _pc()
+        # admission: simple text-only requests batch into pooled prefills
+        # (one weight-read for up to 8 admissions — the 47 ms/step
+        # admission tax at 32-slot churn, BASELINE.md round-5); everything
+        # else (multimodal, adapters, prefix hits, chunked, buckets) keeps
+        # its specialized batch-1 path. FIFO submit order is preserved —
+        # only the device work is grouped.
+        batch_pairs = []
         for slot in range(self.scfg.max_batch):
             if self.slots[slot] is None and self.pending:
-                self._admit(slot, self.pending.popleft())
+                req = self.pending.popleft()
+                if self._batchable(req):
+                    batch_pairs.append((slot, req))
+                else:
+                    self._admit(slot, req)
+        # ONE batched size (_admit_bucket): every distinct batch size
+        # compiles its own prefill program (~30 s+ each on a remote chip —
+        # measured collapsing a whole bench run when power-of-two buckets
+        # compiled mid-traffic), so groups below the bucket admit singly
+        # (the pre-batching behavior) and only full buckets batch. warmup()
+        # compiles the bucket program at deploy time.
+        bsz = self._admit_bucket
+        while bsz > 1 and len(batch_pairs) >= bsz:
+            chunk, batch_pairs = batch_pairs[:bsz], batch_pairs[bsz:]
+            self._admit_many(chunk)
+        for slot_req in batch_pairs:
+            self._admit(*slot_req)
         if self.chunked and any(p >= 0 for p in self._pf_pos):
             self._advance_prefill()
         t1 = _pc()
@@ -603,14 +632,19 @@ class ServeEngine(AdmissionMixin):
 
     def _bookkeep(self, toks, lps, counts, snapshot):
         if isinstance(counts, dict):   # admission first-token entry
-            slot = counts["slot"]
-            req = snapshot[slot]
-            if req is not None and not req.done:
-                tok = int(toks[0])
-                req.tokens.append(tok)
-                req.logprobs.append(float(lps[0]))
-                self.emitted_total += 1
-                self._finish_if_needed(slot, req, tok)
+            # {"slot": s} = batch-1 admission; {"slots": [...]} = batched
+            # admission (row r of toks/lps belongs to slots[r])
+            slots = counts.get("slots", None)
+            if slots is None:
+                slots = [counts["slot"]]
+            for r, slot in enumerate(slots):
+                req = snapshot[slot]
+                if req is not None and not req.done:
+                    tok = int(toks[r])
+                    req.tokens.append(tok)
+                    req.logprobs.append(float(lps[r]))
+                    self.emitted_total += 1
+                    self._finish_if_needed(slot, req, tok)
             return
         if getattr(toks, "ndim", 2) == 3:     # blocked spec: (K, B, g+1)
             rounds = [(toks[k], lps[k], [int(n) for n in counts[k]])

@@ -27,12 +27,17 @@ def _prefill_one_jit(params, prompt, length, rng, cfg: MagnetoConfig,
                      scfg: SamplingConfig, max_len: int,
                      double_scale: bool = False, interpret: bool = False,
                      rows=None):
-    """prompt (1, P) -> (first_token (1,), batch-1 caches).
+    """prompt (A, P) -> (first_tokens (A,), logprobs (A,), batch-A caches).
 
-    ``double_scale`` must match the engine's decode convention (the Kosmos
-    parity quirk) or the prompt and the decoded tokens are embedded at
-    different scales."""
-    caches = dec.init_cache(cfg, batch=1, max_len=max_len)
+    Batch-generic: admission calls it at A=1 (one request) and at the
+    batched-admission bucket sizes (engine.step collects simple text-only
+    admissions and prefills them in ONE dispatch — prefill is weight-read
+    bound, so A prompts cost barely more than one; each distinct A
+    compiles its own program, which is why the engine buckets A to powers
+    of two). ``double_scale`` must match the engine's decode convention
+    (the Kosmos parity quirk) or the prompt and the decoded tokens are
+    embedded at different scales."""
+    caches = dec.init_cache(cfg, batch=prompt.shape[0], max_len=max_len)
     lp = prompt.shape[1]
     seg = jnp.where(jnp.arange(lp)[None, :] < length[:, None], 0, -1
                     ).astype(jnp.int32)
@@ -211,6 +216,27 @@ def _insert_slot_jit(caches, caches_one, slot):
             pool, jnp.take(one, 0, axis=axis), slot, axis)
 
     return jax.tree_util.tree_map(ins, caches, caches_one)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_rows_jit(caches, caches_many, slots):
+    """Scatter a batch-A cache's rows into pool slots ``slots`` (A,) int32.
+
+    The batched-admission analog of ``_insert_slot_jit``: one donated
+    scatter per leaf instead of A sequential batch-1 inserts. ``slots`` is
+    traced (one compiled program per A, any slot assignment). Handles the
+    per-layer LIST pool layout the same way _insert_slot_jit does."""
+    if isinstance(caches, (list, tuple)) and \
+            not isinstance(caches_many, (list, tuple)):
+        caches_many = [jax.tree_util.tree_map(lambda c: c[li], caches_many)
+                       for li in range(len(caches))]
+
+    def ins(pool, many):
+        if pool.ndim == 5:      # stacked (L, B, H, S, ·)
+            return pool.at[:, slots].set(many)
+        return pool.at[slots].set(many)   # (B, H, S, ·)
+
+    return jax.tree_util.tree_map(ins, caches, caches_many)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

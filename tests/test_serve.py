@@ -77,6 +77,32 @@ def test_engine_staggered_admission(params):
         assert h.tokens == [int(t) for t in np.asarray(ref[0])]
 
 
+@pytest.mark.parametrize("slots,n,lag", [(4, 4, 0), (8, 7, 2), (8, 8, 0),
+                                         (3, 5, 1)])
+def test_engine_batched_admission_matches_one_shot(params, slots, n, lag):
+    """Filling several free slots in one step routes through the pooled
+    batched-admission prefill (one dispatch per power-of-two bucket; a
+    leftover single uses the batch-1 program). Greedy outputs, logprob
+    presence, and slot bookkeeping must be identical to one-shot
+    generation — across batch sizes that exercise the 4-, 2-, and 1-row
+    buckets and both the sync and lagged commit paths."""
+    prompts = _prompts(n, key=61)
+    new = 6
+    eng = ServeEngine(
+        params, CFG,
+        ServeConfig(max_batch=slots, max_prompt_len=16, max_len=64,
+                    sync_lag=lag),
+        SamplingConfig(greedy=True))
+    hs = [eng.submit(p, max_new_tokens=new) for p in prompts]
+    eng.run()
+    for p, h in zip(prompts, hs):
+        ref = generate_text(params, CFG, jnp.asarray([p], jnp.int32),
+                            SamplingConfig(max_new_tokens=new, greedy=True))
+        assert h.done
+        assert h.tokens == [int(t) for t in np.asarray(ref[0])]
+        assert len(h.logprobs) == len(h.tokens)
+
+
 def test_engine_eos_stops_early(params):
     p = _prompts(1)[0]
     ref = generate_text(params, CFG, jnp.asarray([p], jnp.int32),
