@@ -219,6 +219,11 @@ def main(argv=None):
             SamplingConfig(greedy=True),
             draft_params=draft if spec else None,
             draft_cfg=sdcfg if spec else None)
+        # deploy-style warmup: compiles batch-1 AND batched-admission
+        # prefills (target and, for spec engines, draft) plus the step
+        # programs — a mid-run compile of the batched draft prefill was
+        # measured collapsing the spec phase to 63 tok/s
+        eng.warmup()
         # prompts from the training distribution (prefixes of synthetic
         # sequences), so the serving-time acceptance is in-distribution
         pdata = synthetic_text_batches(batch_size=1,

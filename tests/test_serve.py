@@ -830,6 +830,34 @@ def test_warmup_compiles_then_serves_clean(params):
     eng.run()
 
 
+def test_warmup_spec_engine_batched_admission(params, draft_params):
+    """warmup() on a speculative engine compiles the batched-admission
+    pooled prefill for target AND draft plus the spec step programs,
+    resets stats, and leaves greedy outputs bit-identical to a cold spec
+    engine (a mid-traffic compile of the batched draft prefill was
+    measured collapsing spec serving to 63 tok/s on chip)."""
+    scfg = ServeConfig(max_batch=4, max_prompt_len=16, max_len=64,
+                       spec_gamma=3, sync_lag=1)
+
+    def make():
+        return ServeEngine(params, CFG, scfg, SamplingConfig(greedy=True),
+                           draft_params=draft_params, draft_cfg=DRAFT_CFG)
+
+    eng = make()
+    n = eng.warmup()
+    # at least the full-length flavor plus one full batched-admission group
+    assert n >= 1 + eng._admit_bucket and eng._admit_bucket == 4
+    assert eng.emitted_total == 0 and eng.accepted_total == 0
+    assert eng.steps == 0
+    prompts = _prompts(4, key=91)
+    handles = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.run()
+    cold = make()
+    hc = [cold.submit(p, max_new_tokens=6) for p in prompts]
+    cold.run()
+    assert [h.tokens for h in handles] == [h.tokens for h in hc]
+
+
 def test_per_request_top_k_and_top_p(params):
     """Deterministic corners: top_k=1 (any temperature) and top_p→0 both
     reduce to argmax, so they must reproduce the greedy reference while
