@@ -12,6 +12,11 @@ needs no extra dependencies:
 - ``GET /healthz``: liveness.
 - ``GET /v1/stats``: engine counters (steps, emitted/accepted totals, active
   slots, queue depth).
+- ``start()`` runs a deploy-style ``engine.warmup()`` by default (opt out
+  with ``warmup=False``): every program the engine can dispatch compiles
+  before the first request — mid-traffic compiles cost 30 s+ per program
+  on a remote chip (measured collapsing a serving run to 63 tok/s,
+  BASELINE.md round 5b).
 
 Threading model: the engine is single-threaded by design (one device, one
 dispatch loop), so ALL engine calls happen on one dispatcher thread. HTTP
@@ -62,11 +67,14 @@ class ServeServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000,
                  tokenizer=None, default_max_tokens: int = 64,
-                 request_timeout: float = 600.0):
+                 request_timeout: float = 600.0, warmup: bool = True,
+                 warmup_images=None):
         self.engine = engine
         self.tokenizer = tokenizer
         self.default_max_tokens = default_max_tokens
         self.request_timeout = request_timeout
+        self.warmup = warmup
+        self.warmup_images = warmup_images
         self._subq: "queue.Queue[_Ticket]" = queue.Queue()
         self._cancelq: "queue.Queue[_Ticket]" = queue.Queue()
         self._by_id: dict = {}        # request id -> ticket (live requests)
@@ -84,6 +92,17 @@ class ServeServer:
         return self._httpd.server_address  # (host, port) — port resolves 0
 
     def start(self):
+        if self.warmup:
+            # compile every program the engine will dispatch BEFORE taking
+            # traffic: a single uncompiled program (e.g. the pooled
+            # batched-admission prefill) costs 30 s+ on a remote chip when
+            # it compiles mid-request — measured collapsing a serving run
+            # to 63 tok/s (BASELINE.md round 5b)
+            import time as _time
+            t0 = _time.perf_counter()
+            n = self.engine.warmup(images=self.warmup_images)
+            logger.info("warmup: %d flavors compiled in %.1fs", n,
+                        _time.perf_counter() - t0)
         self._running = True
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             name="serve-dispatcher",

@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve over HTTP instead of batch prompts "
                         "(POST /v1/completions, GET /healthz, /v1/stats)")
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the deploy-style warmup before taking HTTP "
+                        "traffic (first request of each flavor then pays "
+                        "its compile — 30 s+ per program on a remote chip)")
     return p
 
 
@@ -223,9 +227,14 @@ def main(argv=None):
                 return tok.decode(ids)
 
         from kosmosx_tpu.serve import ServeServer
+        wimg = None
+        if kcfg is not None and not args.no_warmup:
+            wimg = np.zeros((1, 3, kcfg.vision.image_size,
+                             kcfg.vision.image_size), np.float32)
         srv = ServeServer(eng, host=args.host, port=args.http,
                           tokenizer=_Tok(),
-                          default_max_tokens=args.max_new_tokens)
+                          default_max_tokens=args.max_new_tokens,
+                          warmup=not args.no_warmup, warmup_images=wimg)
         srv.start()
         print(f"serving on http://{srv.address[0]}:{srv.address[1]} "
               f"(ctrl-c to stop)", file=sys.stderr)

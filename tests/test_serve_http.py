@@ -271,3 +271,42 @@ def test_logprobs_over_http(server, params):
     # requests WITHOUT the flag stay lean
     code, body2 = _post(server, {"prompt": p, "max_tokens": 3})
     assert "logprobs" not in body2
+
+
+def test_warmup_on_start(params):
+    """start() runs a deploy-style engine.warmup() by default (every
+    program compiles before traffic — a mid-request compile costs 30 s+
+    on a remote chip), resets the stats counters, and leaves served
+    outputs bit-identical; warmup=False opts out."""
+    eng = ServeEngine(params, CFG,
+                      ServeConfig(max_batch=3, max_prompt_len=16, max_len=48),
+                      SamplingConfig(greedy=True))
+    calls = {}
+    orig = eng.warmup
+    eng.warmup = lambda **kw: calls.setdefault("n", orig(**kw))
+    srv = ServeServer(eng, port=0).start()
+    try:
+        assert calls["n"] >= 1
+        assert eng.steps == 0 and eng.emitted_total == 0
+        p = _prompt(9)
+        code, body = _post(srv, {"prompt": p, "max_tokens": 6})
+        assert code == 200
+        assert body["tokens"] == _ref_tokens(params, p, 6)
+    finally:
+        srv.stop()
+
+    cold = ServeEngine(params, CFG,
+                       ServeConfig(max_batch=3, max_prompt_len=16,
+                                   max_len=48),
+                       SamplingConfig(greedy=True))
+    ccalls = {}
+    corig = cold.warmup
+    cold.warmup = lambda **kw: ccalls.setdefault("n", corig(**kw))
+    srv2 = ServeServer(cold, port=0, warmup=False).start()
+    try:
+        assert "n" not in ccalls
+        code, body = _post(srv2, {"prompt": p, "max_tokens": 6})
+        assert code == 200
+        assert body["tokens"] == _ref_tokens(params, p, 6)
+    finally:
+        srv2.stop()
